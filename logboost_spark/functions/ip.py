@@ -1,0 +1,171 @@
+"""IP extraction and classification as native Column expressions.
+
+Reproduces the reference's semantics with zero Python in the hot path:
+
+* ``RegexFirstPublicIPFromString`` (helpers/helpers.go:850-893): all IPv4
+  matches; return the first *public* one, else the first match of any
+  kind, else the first IPv6 match, else not-found.
+* ``IsPrivateIP`` (helpers/network.go:29-52,124-142): loopback/link-local/
+  multicast + the 12 hardcoded CIDR blocks + RFC1918 + string specials
+  (``0.0.0.0``, ``::``, ``::1``, ``255.`` prefix).
+
+Everything compiles to JVM regexp / arithmetic expressions inside
+whole-stage codegen — no UDFs. IPv4 privacy is decided on the integer
+form with range compares; IPv6 privacy on canonical textual prefixes
+(the regex extractor only ever yields well-formed textual IPs, so prefix
+classification is exact for extracted values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Java-regex-compatible IPv4 matcher, same shape as vars/vars.go:64.
+IPV4_RE = r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
+
+# IPv6 matcher covering full, compressed, and v4-mapped forms
+# (same coverage as vars/vars.go:58; Java-compatible alternation).
+# The loose `(?:[0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{1,4}` branch comes FIRST,
+# mirroring the reference's alternation order, so compressed forms like
+# `fe80::1` capture in full (and, like the reference, timestamp-ish tokens
+# `14:12:51` can match — parity bug kept on purpose; IPv6 extraction only
+# runs when no IPv4 matched anywhere in the line).
+IPV6_RE = (
+    r"(?:"
+    r"(?:[0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{1,4}"  # loose branch (reference-first)
+    r"|(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"  # full 8 groups
+    r"|(?:[0-9a-fA-F]{1,4}:){1,7}:"  # 1..7 groups then ::
+    r"|(?:[0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,5}(?::[0-9a-fA-F]{1,4}){1,2}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,4}(?::[0-9a-fA-F]{1,4}){1,3}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,3}(?::[0-9a-fA-F]{1,4}){1,4}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,2}(?::[0-9a-fA-F]{1,4}){1,5}"
+    r"|[0-9a-fA-F]{1,4}:(?::[0-9a-fA-F]{1,4}){1,6}"
+    r"|:(?:(?::[0-9a-fA-F]{1,4}){1,7}|:)"
+    r"|::(?:ffff(?::0{1,4})?:)?(?:(?:25[0-5]|(?:2[0-4]|1?[0-9])?[0-9])\.){3}(?:25[0-5]|(?:2[0-4]|1?[0-9])?[0-9])"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,4}:(?:(?:25[0-5]|(?:2[0-4]|1?[0-9])?[0-9])\.){3}(?:25[0-5]|(?:2[0-4]|1?[0-9])?[0-9])"
+    r")"
+)
+
+
+# Strict (anchored) IPv6 validator approximating Go's net.ParseIP
+# acceptance: full 8-group form, exactly-one-``::`` compressed forms, and
+# v4-suffixed forms. Used to reject pseudo-v6 captures like "18:19:37"
+# (the reference rejects them via ParseIP → nil → NoIP path,
+# helpers/helpers.go:342-345).
+STRICT_V6_RE = (
+    r"^(?:"
+    r"(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,7}:"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,5}(?::[0-9a-fA-F]{1,4}){1,2}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,4}(?::[0-9a-fA-F]{1,4}){1,3}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,3}(?::[0-9a-fA-F]{1,4}){1,4}"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,2}(?::[0-9a-fA-F]{1,4}){1,5}"
+    r"|[0-9a-fA-F]{1,4}:(?::[0-9a-fA-F]{1,4}){1,6}"
+    r"|:(?:(?::[0-9a-fA-F]{1,4}){1,7}|:)"
+    r"|::(?:ffff(?::0{1,4})?:)?(?:(?:25[0-5]|(?:2[0-4]|1?[0-9])?[0-9])\.){3}(?:25[0-5]|(?:2[0-4]|1?[0-9])?[0-9])"
+    r"|(?:[0-9a-fA-F]{1,4}:){1,4}:(?:(?:25[0-5]|(?:2[0-4]|1?[0-9])?[0-9])\.){3}(?:25[0-5]|(?:2[0-4]|1?[0-9])?[0-9])"
+    r")$"
+)
+
+
+def ipv4_to_long(ip: Column) -> Column:
+    """Dotted-quad string → 32-bit value in a BIGINT (null if malformed)."""
+    octets = F.transform(F.split(ip, r"\."), lambda x: x.try_cast("bigint"))
+    ok = (F.size(octets) == 4) & F.forall(
+        octets, lambda x: x.isNotNull() & (x >= 0) & (x <= 255)
+    )
+    val = F.aggregate(octets, F.lit(0).cast("bigint"), lambda acc, x: acc * 256 + x)
+    return F.when(ok, val)
+
+
+# Private IPv4 ranges as (start, end) on the integer form. Mirrors
+# helpers/network.go:31-44 plus the multicast/linklocal predicates and
+# string specials of helpers/network.go:124-142.
+_PRIVATE_V4_RANGES = [
+    (0x7F000000, 0x7FFFFFFF),  # 127.0.0.0/8 loopback
+    (0x0A000000, 0x0AFFFFFF),  # 10.0.0.0/8
+    (0xAC100000, 0xAC1FFFFF),  # 172.16.0.0/12
+    (0xC0A80000, 0xC0A8FFFF),  # 192.168.0.0/16
+    (0xC0000000, 0xC00000FF),  # 192.0.0.0/24
+    (0xC0000200, 0xC00002FF),  # 192.0.2.0/24
+    (0xA9FE0000, 0xA9FEFFFF),  # 169.254.0.0/16 link-local
+    (0xE0000000, 0xEFFFFFFF),  # 224.0.0.0/4 multicast
+    (0xFF000000, 0xFFFFFFFF),  # "255." string-prefix special
+    (0x00000000, 0x00000000),  # "0.0.0.0" special
+]
+
+
+def is_private_ipv4_long(ip_long: Column) -> Column:
+    """Privacy predicate on the integer IPv4 form (null-safe → false)."""
+    cond = F.lit(False)
+    for lo, hi in _PRIVATE_V4_RANGES:
+        cond = cond | ip_long.between(F.lit(lo), F.lit(hi))
+    return F.coalesce(cond, F.lit(False))
+
+
+def is_private_ipv6_str(ip: Column) -> Column:
+    """Privacy predicate on canonical textual IPv6.
+
+    Covers ::1/128, ::, fe80::/10 (fe80-febf), fc00::/7 (fc/fd),
+    ff00::/8 multicast, 64:ff9b:1::/48 — helpers/network.go:38-43,124-142.
+    """
+    s = F.lower(ip)
+    return (
+        (s == "::1")
+        | (s == "::")
+        | s.rlike(r"^fe[89ab]")
+        | s.rlike(r"^f[cd]")
+        | s.startswith("ff")
+        | s.startswith("64:ff9b:1:")
+    )
+
+
+def is_private_ip(ip: Column) -> Column:
+    """Privacy predicate for a well-formed textual IPv4 or IPv6 value."""
+    v4 = ipv4_to_long(ip)
+    return F.when(ip.contains(":"), is_private_ipv6_str(ip)).otherwise(
+        is_private_ipv4_long(v4)
+    )
+
+
+def extract_all_ipv4(text: Column) -> Column:
+    """All IPv4 literals in a string, in order (array<string>)."""
+    return F.regexp_extract_all(text, F.lit("(" + IPV4_RE + ")"), 1)
+
+
+def extract_first_ipv6(text: Column) -> Column:
+    """First IPv6 literal in a string, null if none."""
+    m = F.regexp_extract(text, "(" + IPV6_RE + ")", 1)
+    return F.when(F.length(m) > 0, m)
+
+
+def is_valid_ip(ip: Column) -> Column:
+    """Would Go's ``net.ParseIP`` accept this textual value?"""
+    return F.when(
+        ip.contains(":"), ip.rlike(STRICT_V6_RE)
+    ).otherwise(ipv4_to_long(ip).isNotNull())
+
+
+def first_public_ip(text: Column) -> Column:
+    """struct(ip string, found boolean, private boolean).
+
+    Exact ``RegexFirstPublicIPFromString`` precedence
+    (helpers/helpers.go:850-893): first public IPv4 → first IPv4 of any
+    kind → first IPv6 (the reference does no v6 privacy check at
+    extraction time, helpers/helpers.go:871 TODO — but the *caller*
+    re-checks IsPrivateIP on the final value, helpers/helpers.go:348,
+    which we fold into the ``private`` flag here).
+    """
+    ips4 = extract_all_ipv4(text)
+    pub4 = F.filter(ips4, lambda x: ~is_private_ipv4_long(ipv4_to_long(x)))
+    ip = F.coalesce(F.get(pub4, 0), F.get(ips4, 0), extract_first_ipv6(text))
+    return F.struct(
+        ip.alias("ip"),
+        ip.isNotNull().alias("found"),
+        F.when(ip.isNull(), F.lit(False))
+        .otherwise(is_private_ip(ip))
+        .alias("private"),
+    )

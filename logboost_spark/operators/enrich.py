@@ -1,0 +1,286 @@
+"""The enrichment stage: LogBoost's ``enrichRecord`` as broadcast joins.
+
+Reference flow (helpers/helpers.go:295-480): extract IP from the row →
+classify (none / invalid / private / public) → for public IPs, look up
+geo-ASN, geo-city, threat intel (+ datacenter-ASN merge), reverse DNS,
+TLD, WHOIS (domain + IP), Shodan InternetDB — appending the fixed
+``lb_*`` column suffix with string sentinels on each miss path.
+
+Spark shape: ONE pass over the fact table with
+  * two prefix-bucketed broadcast range joins (geo ASN / city),
+  * five broadcast hash left joins (ti, dns_ptr, whois_domain, whois_ip,
+    shodan_idb),
+  * one ``isin`` literal membership test (dc ASN — ~800 values),
+  * one Arrow-batched pandas UDF (public-suffix TLD parse).
+No fact-side shuffle anywhere; every lookup side broadcasts. Private /
+no-IP rows carry null join keys, so they fall through every join for
+free and get sentinel-filled at the end (the reference's early-exit,
+expressed declaratively).
+
+Sentinel matrix (see semantics.py for the ragged-row normalization note):
+  no IP found / unparseable  → lb_IP="NoIP", every enrich col "NoIP"
+  private IP                 → lb_IP=ip,    every enrich col "PVT"
+  public, geo miss           → ""           (helpers/helpers.go:373-389)
+  public, TI miss            → none/0/none  (helpers/threatIntel.go:403)
+  public, DNS miss           → "none"/"none" (helpers/helpers.go:499-509)
+  public, WHOIS/IDB miss     → "err"×4/×8/×5 (lookup attempted, no data)
+  public, DNS hit but TLD=none → domain-WHOIS "NA"×4 (helpers.go:469-473)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ip import first_public_ip, ipv4_to_long, is_valid_ip
+from ..functions.tld import tld_of
+from ..semantics import (
+    DNS_FIELDS,
+    GEO_FIELDS,
+    IDB_FIELDS,
+    THREAT_FIELDS,
+    WHOIS_DOMAIN_FIELDS,
+    WHOIS_IP_FIELDS,
+)
+from .geo_join import range_lookup_join
+
+_DC_CATEGORY = "dc"
+_DC_FEED = "internal datacenter list"
+
+
+def ti_by_ip(ti: DataFrame) -> DataFrame:
+    """Pre-aggregate (ip, feed_name, category) rows to one row per IP.
+
+    Mirrors CheckIPinTI's dedupe+sort (helpers/threatIntel.go:381-423,
+    helpers/helpers.go:1111-1122): both lists sorted, distinct; the feed
+    count is the number of distinct feeds. Done once on the tiny lookup
+    side, so the fact-side join stays 1:1 (no row explosion).
+    """
+    return ti.groupBy("ip").agg(
+        F.array_sort(F.collect_set("category")).alias("_ti_cats"),
+        F.array_sort(F.collect_set("feed_name")).alias("_ti_feeds"),
+    )
+
+
+def enrich(
+    df: DataFrame,
+    lookups: dict[str, DataFrame],
+    text_col: str = "text",
+    use_ti: bool = True,
+    use_dns: bool = True,
+    use_whois: bool = True,
+    use_idb: bool = True,
+    dc_asn_numbers: list[int] | None = None,
+) -> DataFrame:
+    """Append the lb_* enrichment suffix. Flags mirror -useti/-usedns/
+    -usewhois/-useidb; column order is fixed (vars/vars.go:51-56)."""
+    s = first_public_ip(F.col(text_col))
+    df = df.withColumn("_ips", s)
+    df = df.withColumn("_ip", F.col("_ips.ip")).drop("_ips")
+    valid = F.col("_ip").isNotNull() & is_valid_ip(F.col("_ip"))
+    df = df.withColumn(
+        "_cls",
+        F.when(~F.coalesce(valid, F.lit(False)), F.lit("noip"))
+        .when(
+            F.when(F.col("_ip").contains(":"), _v6_private(F.col("_ip"))).otherwise(
+                _v4_private(F.col("_ip"))
+            ),
+            F.lit("pvt"),
+        )
+        .otherwise(F.lit("pub")),
+    )
+    pub = F.col("_cls") == "pub"
+    df = df.withColumn("_join_ip", F.when(pub, F.col("_ip")))
+    df = df.withColumn("_join_v4", F.when(pub, ipv4_to_long(F.col("_ip"))))
+
+    # --- geo (J1/J2): prefix-bucketed broadcast range joins -------------
+    df = range_lookup_join(
+        df, F.col("_join_v4"), lookups["geo_asn"], ["asn_org", "asn_number"], prefix="_g_"
+    )
+    df = range_lookup_join(
+        df, F.col("_join_v4"), lookups["geo_city"], ["country", "city"], prefix="_g_"
+    )
+
+    # --- datacenter ASN membership (J4): literal set, codegen'd ---------
+    if dc_asn_numbers is None:
+        dc_asn_numbers = [r[0] for r in lookups["dc_asn"].collect()]
+    df = df.withColumn(
+        "_is_dc", F.coalesce(F.col("_g_asn_number").isin(dc_asn_numbers), F.lit(False))
+    )
+
+    out_cols = [*df.columns]
+
+    def _sentinel(col, noip="NoIP", pvt="PVT"):
+        return (
+            F.when(F.col("_cls") == "noip", F.lit(noip))
+            .when(F.col("_cls") == "pvt", F.lit(pvt))
+            .otherwise(col)
+        )
+
+    # --- geo output columns ---------------------------------------------
+    geo_out = [
+        _sentinel(F.col("_ip"), noip="NoIP", pvt=None).alias("lb_IP"),
+        _sentinel(F.coalesce(F.col("_g_asn_org"), F.lit(""))).alias("lb_ASN"),
+        _sentinel(
+            F.coalesce(F.col("_g_asn_number").cast("string"), F.lit(""))
+        ).alias("lb_ASN_Number"),
+        _sentinel(F.coalesce(F.col("_g_country"), F.lit(""))).alias("lb_Country"),
+        _sentinel(F.coalesce(F.col("_g_city"), F.lit(""))).alias("lb_City"),
+    ]
+    # lb_IP on the PVT path carries the extracted private IP (helpers.go:349)
+    geo_out[0] = (
+        F.when(F.col("_cls") == "noip", F.lit("NoIP"))
+        .otherwise(F.col("_ip"))
+        .alias("lb_IP")
+    )
+
+    # --- threat intel (J3+J4+A1) -----------------------------------------
+    ti_out = []
+    if use_ti:
+        tia = ti_by_ip(lookups["ti"]).withColumnRenamed("ip", "_ti_ip")
+        df = df.join(F.broadcast(tia), df["_join_ip"] == tia["_ti_ip"], "left").drop("_ti_ip")
+        cats = F.when(
+            F.col("_is_dc"),
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("_ti_cats"), F.array().cast("array<string>")),
+                        F.array(F.lit(_DC_CATEGORY)),
+                    )
+                )
+            ),
+        ).otherwise(F.col("_ti_cats"))
+        feeds = F.when(
+            F.col("_is_dc"),
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("_ti_feeds"), F.array().cast("array<string>")),
+                        F.array(F.lit(_DC_FEED)),
+                    )
+                )
+            ),
+        ).otherwise(F.col("_ti_feeds"))
+        miss = feeds.isNull() | (F.size(feeds) == 0)
+        ti_out = [
+            _sentinel(
+                F.when(miss, F.lit("none")).otherwise(F.array_join(cats, "|"))
+            ).alias("lb_ThreatCategories"),
+            _sentinel(
+                F.when(miss, F.lit("0")).otherwise(F.size(feeds).cast("string"))
+            ).alias("lb_ThreatFeedCount"),
+            _sentinel(
+                F.when(miss, F.lit("none")).otherwise(F.array_join(feeds, "|"))
+            ).alias("lb_ThreatFeeds"),
+        ]
+
+    # --- DNS + TLD (J5+J6) ------------------------------------------------
+    dns_out = []
+    if use_dns:
+        dp = lookups["dns_ptr"].withColumnRenamed("ip", "_dns_ip")
+        df = df.join(F.broadcast(dp), df["_join_ip"] == dp["_dns_ip"], "left").drop("_dns_ip")
+        first_dom = F.get(F.col("domains"), 0)
+        # TLD parse only on rows that have a PTR record (small slice)
+        df = df.withColumn(
+            "_tld", F.when(first_dom.isNotNull() & pub, tld_of(first_dom))
+        )
+        dns_out = [
+            _sentinel(
+                F.coalesce(F.array_join(F.col("domains"), "|"), F.lit("none"))
+            ).alias("lb_Domains"),
+            _sentinel(F.coalesce(F.col("_tld"), F.lit("none"))).alias("lb_TLD"),
+        ]
+
+    # --- WHOIS domain (J7) -------------------------------------------------
+    wd_out = []
+    if use_whois and use_dns:
+        wd = lookups["whois_domain"].select(
+            F.col("domain").alias("_wd_domain"),
+            F.col("created").alias("_wd_created"),
+            F.col("updated").alias("_wd_updated"),
+            F.col("country").alias("_wd_country"),
+            F.col("org").alias("_wd_org"),
+        )
+        has_domain = F.col("_tld").isNotNull() & (F.col("_tld") != "none")
+        df = df.join(
+            F.broadcast(wd),
+            F.when(has_domain, F.col("_tld")) == wd["_wd_domain"],
+            "left",
+        )
+        # valid domain + lookup miss → "err" (live lookup failed);
+        # no domain at all → "NA" (lookup skipped, helpers.go:469-473)
+        for src, name in zip(
+            ["_wd_created", "_wd_updated", "_wd_country", "_wd_org"],
+            WHOIS_DOMAIN_FIELDS,
+        ):
+            wd_out.append(
+                _sentinel(
+                    F.when(~has_domain, F.lit("NA")).otherwise(
+                        F.coalesce(F.col(src), F.lit("err"))
+                    )
+                ).alias(name)
+            )
+
+    # --- WHOIS IP (J8) -------------------------------------------------------
+    wi_out = []
+    if use_whois:
+        wi = lookups["whois_ip"].select(
+            F.col("ip").alias("_wi_ip"),
+            *[
+                F.col(c).alias(f"_wi_{c}")
+                for c in ["cidr", "netname", "nettype", "org", "created", "updated", "country", "parent"]
+            ],
+        )
+        df = df.join(F.broadcast(wi), df["_join_ip"] == wi["_wi_ip"], "left").drop("_wi_ip")
+        for src, name in zip(
+            ["cidr", "netname", "nettype", "org", "created", "updated", "country", "parent"],
+            WHOIS_IP_FIELDS,
+        ):
+            wi_out.append(
+                _sentinel(F.coalesce(F.col(f"_wi_{src}"), F.lit("err"))).alias(name)
+            )
+
+    # --- Shodan InternetDB (J9) ----------------------------------------------
+    idb_out = []
+    if use_idb:
+        idb = lookups["shodan_idb"].select(
+            F.col("ip").alias("_idb_ip"),
+            F.array_join("cpes", "|").alias("_idb_cpes"),
+            F.array_join("hostnames", "|").alias("_idb_hostnames"),
+            F.array_join(F.transform("ports", lambda x: x.cast("string")), "|").alias(
+                "_idb_ports"
+            ),
+            F.array_join("tags", "|").alias("_idb_tags"),
+            F.array_join("vulns", "|").alias("_idb_vulns"),
+        )
+        df = df.join(F.broadcast(idb), df["_join_ip"] == idb["_idb_ip"], "left").drop("_idb_ip")
+        for src, name in zip(
+            ["cpes", "hostnames", "ports", "tags", "vulns"], IDB_FIELDS
+        ):
+            idb_out.append(
+                _sentinel(F.coalesce(F.col(f"_idb_{src}"), F.lit("err"))).alias(name)
+            )
+
+    keep = [c for c in out_cols if not c.startswith("_") and c != "domains"]
+    return df.select(
+        *keep,
+        F.col("_cls").alias("lb_class"),
+        *geo_out,
+        *ti_out,
+        *dns_out,
+        *wd_out,
+        *wi_out,
+        *idb_out,
+    )
+
+
+def _v4_private(ip):
+    from ..functions.ip import is_private_ipv4_long
+
+    return is_private_ipv4_long(ipv4_to_long(ip))
+
+
+def _v6_private(ip):
+    from ..functions.ip import is_private_ipv6_str
+
+    return is_private_ipv6_str(ip)

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing uses ``local[N]``; on a real cluster the same settings
+apply except master/memory come from spark-submit. AQE is always on so
+runtime stats re-plan shuffles (skew-join splitting, partition coalescing)
+— required at 100 TB where static planning guesses wrong.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for scale: AQE on (runtime re-planning), Arrow on
+#: (vectorized pandas-UDF transfer), UTC timestamps everywhere,
+#: ANSI off so malformed log data degrades to NULL instead of failing a
+#: 1000-executor job 6 hours in (we use try_* semantics throughout anyway).
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "logboost_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or 32. ``shuffle_partitions``
+    defaults to 2× cores — on a real cluster you would size this to
+    total-cores × 2-3 and let AQE coalesce.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,90 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "pipeline_turns_per_sec": N,
+   "pipeline_rows": N}
+
+The headline is the end-to-end transcript pipeline (parse → enrich →
+route → per-sink write) on a Spark-generated transcript table sized for
+the bench (deterministic, cached on disk), plus representative operator
+queries at the driver sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PIPELINE_ROWS = int(os.environ.get("BENCH_PIPELINE_ROWS", "2000000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", f"bench_transcripts_{PIPELINE_ROWS}")
+
+
+def main():
+    from logboost_spark.session import get_spark
+    from logboost_spark.fixtures.transcripts import gen_spark
+    from logboost_spark.fixtures.lookups import build_lookup_dfs
+    from logboost_spark.plans.pipeline import run_pipeline
+    from logboost_spark import entry_queries as Q
+
+    spark = get_spark(app_name="logboost_bench", cores=CPUS)
+
+    # -- input prep (not timed): deterministic transcript table ----------
+    if not os.path.exists(os.path.join(CACHE, "_SUCCESS")):
+        gen_spark(spark, PIPELINE_ROWS).repartition(CPUS * 2).write.mode("overwrite").parquet(CACHE)
+    transcripts = spark.read.parquet(CACHE)
+    lookups = build_lookup_dfs(spark)
+    out_dir = "/tmp/logboost_bench_sinks"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    run_pipeline(
+        spark, transcripts, lookups, out_dir,
+        n_groups=4, use_whois=False, use_idb=False,
+    )
+    timings["pipeline_e2e"] = round(time.time() - t0, 3)
+    turns_per_sec = int(PIPELINE_ROWS / timings["pipeline_e2e"])
+
+    # -- representative operator queries at the driver sf ------------------
+    for name in [
+        "t_route_counts",
+        "q1_pricing_summary",
+        "q5_region_volume",
+        "events_sessionize",
+        "doc_minhash_lsh",
+        "doc_simhash",
+        "ann_topk_bruteforce",
+    ]:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "parse_enrich_route_pipeline_plus_operator_suite",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipeline_rows": PIPELINE_ROWS,
+                "pipeline_turns_per_sec": turns_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

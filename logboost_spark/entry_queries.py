@@ -1,0 +1,646 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle pairs.
+
+``QUERIES[name]`` is a callable (spark, sf_dir) → DataFrame;
+``ORACLES[name]`` the equivalent DuckDB SQL (absent → rows-only check).
+Column names/aliases match pairwise — the driver sorts columns by name
+and hashes values.
+
+Coverage maps to SURVEY.md §2 (scans S*, parses P*, filters F*, joins J*,
+aggregations A*) plus the training-data operators (dedup, similarity,
+text analysis).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import entry_oracles as X
+from .fixtures.lookups import build_lookup_dfs
+from .fixtures.transcripts import fixture_path, sf_from_dir
+from .functions.hashing import MERSENNE_P, md5_long, minhash_params
+from .functions.ip import ip_extract_stage
+from .functions.textfns import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    whitespace_token_count,
+)
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.enrich import enrich
+from .operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from .parsers.formats import detect_format, parse_stage
+from .plans.route import route_category
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(fixture_path(sf_from_dir(sf_dir)))
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _transcripts(spark, sf_dir)
+    return enrich(df, build_lookup_dfs(spark), use_whois=False, use_idb=False)
+
+
+# ===========================================================================
+# Transcript pipeline (the north-star queries)
+# ===========================================================================
+
+
+def t_ip_extract(spark, sf_dir):
+    """F2+F3+F4: first-public-else-first IP + class per turn."""
+    df = ip_extract_stage(_transcripts(spark, sf_dir))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("_cls") == "noip", "NoIP").otherwise(F.col("_ip")).alias("lb_ip"),
+        F.col("_cls").alias("lb_class"),
+    )
+
+
+def t_class_counts(spark, sf_dir):
+    return (
+        t_ip_extract(spark, sf_dir)
+        .groupBy("lb_class")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def t_geo_enrich(spark, sf_dir):
+    """J1/J2 range join: per-country counts over public rows."""
+    return (
+        _enriched(spark, sf_dir)
+        .filter(F.col("lb_class") == "pub")
+        .groupBy("lb_Country")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def t_ti_agg(spark, sf_dir):
+    """J3/J4/A1: per-threat-feed-set counts (sorted-dedup pipe-joins)."""
+    return (
+        _enriched(spark, sf_dir)
+        .filter(F.col("lb_class") == "pub")
+        .groupBy("lb_ThreatCategories", "lb_ThreatFeedCount", "lb_ThreatFeeds")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def t_route_counts(spark, sf_dir):
+    """Per-sink aggregate counts — the headline verified aggregate."""
+    return (
+        _enriched(spark, sf_dir)
+        .withColumn("sink", route_category())
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def t_pipeline_full(spark, sf_dir):
+    """Flagship: per-turn enrichment row set (13 columns × every turn)."""
+    return (
+        _enriched(spark, sf_dir)
+        .withColumn("sink", route_category())
+        .select(
+            "conv_id",
+            "turn_idx",
+            "lb_IP",
+            "lb_ASN",
+            "lb_ASN_Number",
+            "lb_Country",
+            "lb_City",
+            "lb_ThreatCategories",
+            "lb_ThreatFeedCount",
+            "lb_ThreatFeeds",
+            "lb_Domains",
+            "lb_TLD",
+            "sink",
+        )
+    )
+
+
+def t_parse_formats(spark, sf_dir):
+    """P11 router: format classification counts."""
+    df = _transcripts(spark, sf_dir)
+    return (
+        df.select(detect_format(F.col("text")).alias("format"))
+        .groupBy("format")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def t_parse_fields(spark, sf_dir):
+    """P2/P6-P9 extraction: per-format sample of parsed field values."""
+    df = parse_stage(_transcripts(spark, sf_dir))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "format",
+        F.coalesce(
+            F.col("fields")["client"],
+            F.col("fields")["HOST"],
+            F.col("fields")["ip"],
+            F.col("fields")["remoteIP"],
+            F.col("fields")["sourceIPAddress"],
+            F.col("fields")["ClientIP"],
+            F.col("fields")["src"],
+            F.col("fields")["c-ip"],
+            F.lit(""),
+        ).alias("parsed_host"),
+    )
+
+
+def t_date_filter(spark, sf_dir):
+    """F1: inclusive ts between; per-role counts."""
+    df = _transcripts(spark, sf_dir)
+    return (
+        df.filter(
+            F.col("ts").between(
+                F.lit("2023-06-01 00:10:00").cast("timestamp"),
+                F.lit("2023-06-01 03:00:00").cast("timestamp"),
+            )
+        )
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def t_turn_order(spark, sf_dir):
+    """Stable (conv_id, turn_idx) ordering invariant: per-conv turn span
+    + text checksum (order-sensitive fingerprint of the conversation)."""
+    df = _transcripts(spark, sf_dir)
+    w = F.sum(
+        F.pmod((F.col("turn_idx") + 1) * F.pmod(md5_long(F.col("text")), F.lit(MERSENNE_P)), F.lit(MERSENNE_P))
+    )
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_turn"),
+        F.pmod(w, F.lit(MERSENNE_P)).alias("conv_checksum"),
+    )
+
+
+# ===========================================================================
+# TPC-H-ish relational coverage over the driver tables
+# ===========================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_revenue_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q5_region_volume(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spent"))
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Events (log-stream-ish) coverage
+# ===========================================================================
+
+
+def events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def events_json_extract(spark, sf_dir):
+    """P1-style embedded-JSON expansion over the props blob column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.pmod(F.col("k"), F.lit(10)).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+    )
+
+
+def events_date_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("ts").between(
+                F.lit("2024-01-03 00:00:00").cast("timestamp"),
+                F.lit("2024-01-07 23:59:59").cast("timestamp"),
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via window functions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ===========================================================================
+# Documents: dedup + text analysis
+# ===========================================================================
+
+
+def doc_exact_dedup(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "dup_count")
+
+
+def doc_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def doc_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def doc_minhash_sigs(spark, sf_dir):
+    return minhash_signatures(_t(spark, sf_dir, "documents"), k=8)
+
+
+def doc_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=8, bands=4)
+
+
+def doc_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+def doc_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    return ngram_jaccard_pairs(d, threshold=0.06, n=2)
+
+
+# ===========================================================================
+# Embeddings: similarity search
+# ===========================================================================
+
+
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(emb, q, k=10)
+
+
+def ann_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(emb, q, k=10)
+
+
+def emb_near_dups(spark, sf_dir):
+    from .operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ===========================================================================
+# Oracle SQL
+# ===========================================================================
+
+
+def build_oracles() -> dict[str, str]:
+    mh = X.minhash_select_terms("hv", 8)
+    P = MERSENNE_P
+    params = minhash_params(8)
+    cls = X.transcript_cls_cte()
+    enr = X.enriched_cte()
+    tok = X.sql_tokens("text")
+    h = X.sql_md5_long("tok")
+
+    band_keys = []
+    r = 2
+    for b in range(4):
+        band_keys.append(
+            (b, " || '_' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)))
+        )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig" for b, key in band_keys
+    )
+
+    simhash_votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32)
+    )
+    simhash_sum = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END" for j in range(32)
+    )
+
+    return {
+        # --- transcripts -----------------------------------------------
+        "t_ip_extract": cls
+        + """
+SELECT conv_id, turn_idx,
+  CASE WHEN lb_class='noip' THEN 'NoIP' ELSE ip END AS lb_ip, lb_class
+FROM cls""",
+        "t_class_counts": cls
+        + """
+SELECT lb_class, count(*) AS cnt FROM cls GROUP BY lb_class""",
+        "t_geo_enrich": enr
+        + """
+SELECT lb_Country, count(*) AS cnt FROM routed WHERE lb_class='pub' GROUP BY lb_Country""",
+        "t_ti_agg": enr
+        + """
+SELECT lb_ThreatCategories, lb_ThreatFeedCount, lb_ThreatFeeds, count(*) AS cnt
+FROM routed WHERE lb_class='pub' GROUP BY 1,2,3""",
+        "t_route_counts": enr
+        + """
+SELECT sink, count(*) AS cnt FROM routed GROUP BY sink""",
+        "t_pipeline_full": enr
+        + """
+SELECT conv_id, turn_idx, lb_IP, lb_ASN, lb_ASN_Number, lb_Country, lb_City,
+       lb_ThreatCategories, lb_ThreatFeedCount, lb_ThreatFeeds, lb_Domains,
+       lb_TLD, sink
+FROM routed""",
+        "t_date_filter": f"""
+SELECT role, count(*) AS cnt FROM read_parquet('{X.TRANSCRIPTS_001}')
+WHERE ts BETWEEN TIMESTAMP '2023-06-01 00:10:00' AND TIMESTAMP '2023-06-01 03:00:00'
+GROUP BY role""",
+        "t_turn_order": f"""
+WITH t AS (SELECT conv_id, turn_idx,
+   ((turn_idx + 1) * ({X.sql_md5_long('text')} % {P})) % {P} AS w
+ FROM read_parquet('{X.TRANSCRIPTS_001}'))
+SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn,
+       CAST(sum(w) % {P} AS BIGINT) AS conv_checksum
+FROM t GROUP BY conv_id""",
+        # --- TPC-H-ish ----------------------------------------------------
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum(l_extendedprice) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "q3_revenue_by_priority": """
+SELECT o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderpriority""",
+        "q5_region_volume": """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+        "q_top_customers": """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC LIMIT 10""",
+        # --- events ---------------------------------------------------------
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "events_json_extract": """
+WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+SELECT k % 10 AS k_mod, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k
+FROM e GROUP BY 1""",
+        "events_date_filter": """
+SELECT event_type, count(*) AS cnt FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-07 23:59:59'
+GROUP BY event_type""",
+        "events_sessionize": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id""",
+        # --- documents ---------------------------------------------------
+        "doc_exact_dedup": f"""
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY {X.sql_md5_long('text')}""",
+        "doc_token_counts": """
+SELECT doc_id,
+  CASE WHEN len(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS bpe_tokens
+FROM documents""",
+        "doc_quality": f"""
+WITH q AS (
+  SELECT doc_id, trim(text) AS t,
+    string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    CASE WHEN len(t)=0 THEN 0 ELSE len(toks) END AS n_tokens,
+    len(t) AS n_chars,
+    len(list_filter(toks, x -> list_contains({X.STOPWORD_ARR}, x))) AS n_stop,
+    len(regexp_replace(t, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct
+  FROM q
+)
+SELECT doc_id, n_tokens,
+  round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+  round(
+    least(round(n_stop / greatest(n_tokens, 1), 6) * 4, 1.0) * 0.4
+    + CASE WHEN round((n_chars - (n_tokens - 1)) / n_tokens, 6) BETWEEN 3 AND 10
+           AND n_tokens > 0 THEN 0.4 ELSE 0.0 END
+    + CASE WHEN round(n_punct / greatest(n_chars, 1), 6) < 0.2 THEN 0.2 ELSE 0.0 END,
+  6) AS quality
+FROM f""",
+        "doc_lang_id": f"""
+SELECT {X.lang_id_sql('text')} AS pred_lang, count(*) AS cnt
+FROM documents GROUP BY 1""",
+        "doc_fingerprints": f"""
+WITH t AS (
+  SELECT doc_id, unnest({X.sql_tokens('text', False)}) AS tok,
+         generate_subscripts({X.sql_tokens('text', False)}, 1) AS i
+  FROM documents)
+SELECT doc_id,
+  CAST(sum((i * ({X.sql_md5_long('tok')} % {P})) % {P}) % {P} AS BIGINT) AS fp
+FROM t GROUP BY doc_id""",
+        "doc_minhash_sigs": f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
+h AS (SELECT doc_id, {h} AS hv FROM toks)
+SELECT doc_id, {', '.join(mh)} FROM h GROUP BY doc_id""",
+        "doc_minhash_lsh": f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
+h AS (SELECT doc_id, {h} AS hv FROM toks),
+sig AS (SELECT doc_id, {', '.join(mh)} FROM h GROUP BY doc_id),
+bands AS ({band_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+        "doc_simhash": f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
+h AS (SELECT doc_id, {h} AS hv FROM toks),
+v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {simhash_sum} AS simhash FROM v""",
+        "doc_ngram_jaccard": """
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE doc_id % 20 = 0),
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+  FROM d),
+sh AS (SELECT doc_id, unnest(grams) AS g, len(grams) AS n_g FROM g),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_g AS na, b.n_g AS nb,
+         count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+FROM p WHERE inter / (na + nb - inter) >= 0.06""",
+        # --- embeddings ----------------------------------------------------
+        "ann_topk_bruteforce": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+      FROM q, c WHERE neighbor_id <> query_id),
+r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10""",
+        "emb_near_dups": """
+WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb FROM embeddings)
+SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 5) AS cos
+FROM a JOIN b ON id_a < id_b
+WHERE list_cosine_similarity(va, vb) >= 0.45""",
+    }
+
+
+QUERIES = {
+    "t_ip_extract": t_ip_extract,
+    "t_class_counts": t_class_counts,
+    "t_geo_enrich": t_geo_enrich,
+    "t_ti_agg": t_ti_agg,
+    "t_route_counts": t_route_counts,
+    "t_pipeline_full": t_pipeline_full,
+    "t_parse_formats": t_parse_formats,
+    "t_parse_fields": t_parse_fields,  # rows-only (map-typed parse output)
+    "t_date_filter": t_date_filter,
+    "t_turn_order": t_turn_order,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_revenue_by_priority": q3_revenue_by_priority,
+    "q5_region_volume": q5_region_volume,
+    "q_top_customers": q_top_customers,
+    "events_hourly": events_hourly,
+    "events_json_extract": events_json_extract,
+    "events_date_filter": events_date_filter,
+    "events_sessionize": events_sessionize,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_token_counts": doc_token_counts,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "doc_minhash_sigs": doc_minhash_sigs,
+    "doc_minhash_lsh": doc_minhash_lsh,
+    "doc_simhash": doc_simhash,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,  # rows-only (approximate by design)
+    "emb_near_dups": emb_near_dups,
+}

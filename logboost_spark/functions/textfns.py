@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting. All native column
+expressions (JVM regex / array ops), oracle-expressible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE_P, md5_long
+
+#: stopword markers per language for the n-gram/markers heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def whitespace_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish proxy: count of letter-runs, digit-runs, and
+    punctuation singletons (a deterministic BPE stand-in)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    )
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word vote → language code, 'und' when nothing matches.
+    Ties break by language-code order (deterministic)."""
+    scores = [(code, _marker_hits(text, words)) for code, words in sorted(LANG_MARKERS.items())]
+    best_code = F.lit("und")
+    best_score = F.lit(0)
+    for code, s in scores:
+        is_better = s > best_score
+        best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_code
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword ratios (doc-quality heuristics)."""
+    t = F.trim(text)
+    n_chars = F.length(t)
+    toks = F.split(F.lower(t), r"\s+")
+    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(toks))
+    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6),
+        "mean_token_len": F.round(mean_tok_len, 6),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Single [0,1] score: rewards stopword presence and sane token
+    lengths, penalizes punctuation soup. Deterministic, SQL-equivalent."""
+    f = quality_features(text)
+    score = (
+        F.least(f["stopword_ratio"] * 4, F.lit(1.0)) * 0.4
+        + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 0.4).otherwise(0.0)
+        + F.when(f["punct_ratio"] < 0.2, 0.2).otherwise(0.0)
+    )
+    return F.round(score, 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Position-weighted token-hash fingerprint:
+    sum((i+1) · h(token_i)) mod P — order-sensitive (unlike a set hash),
+    cheap, and expressible identically in the SQL oracle."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    weighted = F.transform(
+        toks, lambda t, i: F.pmod((i + 1) * F.pmod(md5_long(t), F.lit(MERSENNE_P)), F.lit(MERSENNE_P))
+    )
+    return F.aggregate(
+        weighted,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: F.pmod(acc + v, F.lit(MERSENNE_P)),
+    )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.ip import first_public_ip, ipv4_to_long, is_valid_ip
+from ..functions.ip import ip_extract_stage
 from ..functions.tld import tld_of
 from ..semantics import (
     DNS_FIELDS,
@@ -74,24 +74,10 @@ def enrich(
 ) -> DataFrame:
     """Append the lb_* enrichment suffix. Flags mirror -useti/-usedns/
     -usewhois/-useidb; column order is fixed (vars/vars.go:51-56)."""
-    s = first_public_ip(F.col(text_col))
-    df = df.withColumn("_ips", s)
-    df = df.withColumn("_ip", F.col("_ips.ip")).drop("_ips")
-    valid = F.col("_ip").isNotNull() & is_valid_ip(F.col("_ip"))
-    df = df.withColumn(
-        "_cls",
-        F.when(~F.coalesce(valid, F.lit(False)), F.lit("noip"))
-        .when(
-            F.when(F.col("_ip").contains(":"), _v6_private(F.col("_ip"))).otherwise(
-                _v4_private(F.col("_ip"))
-            ),
-            F.lit("pvt"),
-        )
-        .otherwise(F.lit("pub")),
-    )
+    df = ip_extract_stage(df, text_col)
     pub = F.col("_cls") == "pub"
     df = df.withColumn("_join_ip", F.when(pub, F.col("_ip")))
-    df = df.withColumn("_join_v4", F.when(pub, ipv4_to_long(F.col("_ip"))))
+    df = df.withColumn("_join_v4", F.when(pub, F.col("_v4l"))).drop("_v4l")
 
     # --- geo (J1/J2): prefix-bucketed broadcast range joins -------------
     df = range_lookup_join(
@@ -274,13 +260,3 @@ def enrich(
     )
 
 
-def _v4_private(ip):
-    from ..functions.ip import is_private_ipv4_long
-
-    return is_private_ipv4_long(ipv4_to_long(ip))
-
-
-def _v6_private(ip):
-    from ..functions.ip import is_private_ipv6_str
-
-    return is_private_ipv6_str(ip)

@@ -1,0 +1,251 @@
+"""Multi-format log parsing as a Catalyst `when`-cascade.
+
+The reference classifies each *file* with a fixed detector precedence
+(IIS/W3C → multi-line JSON → JSON → CEF → CLF → syslog → KV → raw,
+main.go:333-450) and then runs a per-format line parser. Here the unit is
+one transcript turn's ``text``, so detection and extraction are per-row
+column expressions; the router is a single ``when`` cascade over detector
+predicates, evaluated in the same precedence order.
+
+Extraction produces a uniform ``fields: map<string,string>`` column
+(dynamic schemas don't exist in a DataFrame; the map is the columnar
+equivalent of the reference's per-file header set — project
+``fields['key']`` or pivot to columns at a sink). Column content mirrors
+each reference parser:
+
+* CLF (parsers/parse_clf.go:16-17): the exact common/combined regexes,
+  one ``regexp_extract`` per named group.
+* syslog (parsers/parse_syslog.go:16-18): RFC3164 / RFC5424 / generic.
+* CEF (parsers/parse_cef.go:22-24,51): optional syslog prefix stripped,
+  ``split(...,'\\|',8)`` into the 7 fixed headers + extension
+  ``str_to_map``.
+* KV (parsers/parse_kv.go:18): ``str_to_map`` + quote strip.
+* IIS/W3C (parsers/parse_iis_w3c.go:15-54): ``#Fields:`` directive names
+  zipped with the data row (space=W3C, comma=IIS).
+* JSON / multi-line JSON / Azure blob (parsers/parse_json*.go): deep
+  ``parent_child`` flatten with Go-style scalar stringification —
+  the one pandas UDF in the parse stage (recursive variable-shape JSON
+  is not expressible as a static column expression; Arrow-batched).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FORMATS = [
+    "iis_w3c",
+    "json_multi",
+    "json",
+    "cef",
+    "clf_combined",
+    "clf_common",
+    "syslog_rfc5424",
+    "syslog_rfc3164",
+    "syslog_generic",
+    "kv",
+    "raw",
+]
+
+# Reference regexes, translated to Java syntax (Go (?P<name>) → (name))
+CLF_COMMON_RE = r'(.*?)\s(.*?)\s(.*?)\s\[(.*?)\]\s"(.*?)\s(.*?)\s(.*?)"\s(.*?)\s(.*)'
+CLF_COMBINED_RE = r'(.*?)\s(.*?)\s(.*?)\s\[(.*?)\]\s"(.*?)\s(.*?)\s(.*?)"\s(.*?)\s(.*?)\s"(.*?)"\s"(.*)"'
+SYSLOG_3164_RE = r"(<\d{1,5}>)([A-Za-z]{3}\s\d{2}\s\d{2}:\d{2}:\d{2})\s(?:<.+>\s)?(.*?)\s(.*)"
+SYSLOG_5424_RE = r"(<\d{1,5}>)(\d)\s(\d{4}-\d{1,2}-\d{1,2}T\d{2}:\d{2}:\d{2}\.\d{3}Z)\s(?:<.+>\s)?(.*?)\s(.*)"
+SYSLOG_GENERIC_RE = r"^([a-zA-Z]{3}\s{1,3}\d{1,2}\s\d{1,2}:\d{2}:\d{2})\s(?:<.+>\s)?([^\s].*?)\s(.*?)\[?(\d{0,6})\]?:\s(.*)"
+KV_PAIR_RE = r'([^=\s]+)="?([^,]+?)"?(?:,|$)'
+
+_CLF_COMMON_GROUPS = [
+    "client", "identity", "user", "timestamp", "httpmethod",
+    "httpresource", "httpversion", "httpstatus", "bytes",
+]
+_CLF_COMBINED_GROUPS = _CLF_COMMON_GROUPS + ["referer", "useragent"]
+
+
+def _anchored(r: str) -> str:
+    return "^" + r + "$"
+
+
+def detect_format(text: Column) -> Column:
+    """The P11 router: detector precedence chain as a when-cascade."""
+    t = F.trim(text)
+    return (
+        F.when(t.startswith("#Fields:"), F.lit("iis_w3c"))
+        .when(t.startswith('{"Records":['), F.lit("json_multi"))
+        .when(t.startswith("{") & t.endswith("}"), F.lit("json"))
+        .when(t.rlike(r"(^|\s|>)CEF:\d+\|"), F.lit("cef"))
+        .when(t.rlike(_anchored(CLF_COMBINED_RE)), F.lit("clf_combined"))
+        .when(t.rlike(_anchored(CLF_COMMON_RE)), F.lit("clf_common"))
+        .when(t.rlike("^" + SYSLOG_5424_RE), F.lit("syslog_rfc5424"))
+        .when(t.rlike("^" + SYSLOG_3164_RE), F.lit("syslog_rfc3164"))
+        .when(t.rlike(SYSLOG_GENERIC_RE), F.lit("syslog_generic"))
+        .when(t.rlike(KV_PAIR_RE + r".*" + KV_PAIR_RE), F.lit("kv"))
+        .otherwise(F.lit("raw"))
+    )
+
+
+def _grok_map(text: Column, pattern: str, groups: list[str]) -> Column:
+    """regexp per named group → map<string,string> (misses → absent)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(g) for g in groups]),
+        F.array(*[F.regexp_extract(text, _anchored(pattern), i + 1) for i in range(len(groups))]),
+    )
+
+
+def _clf(text: Column, combined: bool) -> Column:
+    groups = _CLF_COMBINED_GROUPS if combined else _CLF_COMMON_GROUPS
+    return _grok_map(text, CLF_COMBINED_RE if combined else CLF_COMMON_RE, groups)
+
+
+def _syslog(text: Column, variant: str) -> Column:
+    if variant == "rfc3164":
+        return _grok_map(text, SYSLOG_3164_RE, ["PRI", "TIMESTAMP", "HOST", "MESSAGE"])
+    if variant == "rfc5424":
+        return _grok_map(
+            text, SYSLOG_5424_RE, ["PRI", "VERSION", "TIMESTAMP", "HOST", "MESSAGE"]
+        )
+    return _grok_map(
+        text, SYSLOG_GENERIC_RE.lstrip("^"), ["TIMESTAMP", "HOST", "PROCESS", "PROCID", "MESSAGE"]
+    )
+
+
+_CEF_HEADERS = [
+    "CEF_VERSION", "CEF_VENDOR", "CEF_PRODUCT", "CEF_PRODUCT_VERSION",
+    "CEF_EVENT_ID", "CEF_EVENT_NAME", "CEF_EVENT_SEVERITY",
+]
+
+
+def _cef(text: Column) -> Column:
+    """CEF headers + extension k=v pairs, syslog prefix stripped
+    (parsers/parse_cef.go:270-364)."""
+    body = F.regexp_extract(text, r"(CEF:.*)$", 1)
+    parts = F.split(body, r"\|", 8)
+    version = F.regexp_replace(F.get(parts, 0), "^CEF:", "")
+    headers = F.map_from_arrays(
+        F.array(*[F.lit(h) for h in _CEF_HEADERS]),
+        F.array(version, *[F.coalesce(F.get(parts, i), F.lit("")) for i in range(1, 7)]),
+    )
+    # extension: space-delimited k=v (values may contain spaces — the
+    # reference splits on the next "key=" token; str_to_map with a
+    # lookahead split reproduces that)
+    ext = F.coalesce(F.get(parts, 7), F.lit(""))
+    ext_map = F.str_to_map(ext, F.lit(r"\s+(?=\S+=)"), F.lit("="))
+    return F.map_concat(headers, F.coalesce(ext_map, F.map_from_arrays(F.array(), F.array())))
+
+
+def _kv(text: Column) -> Column:
+    """k=v pairs, comma-delimited, optional quotes (parse_kv.go:18)."""
+    m = F.str_to_map(text, F.lit(r",\s*"), F.lit("="))
+    return F.transform_values(m, lambda _, v: F.regexp_replace(v, r'^"|"$', ""))
+
+
+def _iis_w3c(text: Column) -> Column:
+    """#Fields directive + first data row; comma=IIS, space=W3C
+    (parse_iis_w3c.go:15-54)."""
+    header = F.regexp_extract(text, r"#Fields:\s*([^\n]*)", 1)
+    is_iis = header.contains(",")
+    delim = F.when(is_iis, F.lit(",\\s*")).otherwise(F.lit("\\s+"))
+    names = F.split(F.trim(header), delim)
+    data = F.trim(F.regexp_extract(text, r"\n([^\n]*)", 1))
+    vals = F.split(data, delim)
+    ok = (F.size(names) == F.size(vals)) & (F.size(names) > 0)
+    return F.when(ok, F.map_from_arrays(names, vals)).otherwise(
+        F.map_from_arrays(F.array(F.lit("line")), F.array(data))
+    )
+
+
+# --- JSON deep flatten (P3/P4/P5): the one pandas UDF -----------------------
+
+
+def _go_str(v) -> str:
+    """Go-style scalar stringification (parsers/parse_json_multi.go:369-432):
+    float → FormatFloat('E',-1,64), bool → true/false, arrays → fmt.Sprint,
+    nil → ErrorNil."""
+    if v is None:
+        return "ErrorNil"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            mant, exp = f"{v:E}".split("E")
+            mant = mant.rstrip("0").rstrip(".")
+            return f"{mant}E{int(exp):+03d}"
+        mant, exp = f"{v:E}".split("E")
+        mant = mant.rstrip("0").rstrip(".")
+        return f"{mant}E{int(exp):+03d}"
+    if isinstance(v, list):
+        return "[" + " ".join(_go_str(x) if not isinstance(x, str) else x for x in v) + "]"
+    return str(v)
+
+
+def _flatten_json(obj: dict, prefix: str = "") -> dict[str, str]:
+    """parent_child underscore flattening (parse_json_multi.go:322-367)."""
+    out: dict[str, str] = {}
+    for key, v in obj.items():
+        name = f"{prefix}_{key}" if prefix else key
+        if isinstance(v, dict):
+            out.update(_flatten_json(v, name))
+        else:
+            out[name] = _go_str(v)
+    return out
+
+
+def _flatten_one(s) -> dict | None:
+    if not isinstance(s, str):
+        return None
+    try:
+        obj = json.loads(s)
+    except (ValueError, RecursionError):
+        return None
+    if not isinstance(obj, dict):
+        return None
+    # multi-line JSON: take Records[0]'s flattening (the per-record
+    # explode variant lives in explode_multi_json below)
+    recs = obj.get("Records")
+    if isinstance(recs, list) and recs and isinstance(recs[0], dict):
+        return _flatten_json(recs[0])
+    return _flatten_json(obj)
+
+
+@F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+def json_flatten(texts: pd.Series) -> pd.Series:
+    return texts.map(_flatten_one)
+
+
+def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``format`` + ``fields`` columns (the P1-P11 parse stage)."""
+    t = F.col(text_col)
+    df = df.withColumn("format", detect_format(t))
+    fmt = F.col("format")
+    empty = F.map_from_arrays(
+        F.array(F.lit("line")), F.array(F.coalesce(t, F.lit("")))
+    )
+    fields = (
+        F.when(fmt == "iis_w3c", _iis_w3c(t))
+        .when(fmt.isin("json", "json_multi"), json_flatten(t))
+        .when(fmt == "cef", _cef(t))
+        .when(fmt == "clf_combined", _clf(t, combined=True))
+        .when(fmt == "clf_common", _clf(t, combined=False))
+        .when(fmt == "syslog_rfc5424", _syslog(t, "rfc5424"))
+        .when(fmt == "syslog_rfc3164", _syslog(t, "rfc3164"))
+        .when(fmt == "syslog_generic", _syslog(t, "generic"))
+        .when(fmt == "kv", _kv(t))
+        .otherwise(empty)
+    )
+    return df.withColumn("fields", F.coalesce(fields, empty))
+
+
+def explode_multi_json(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LogBoost row semantics for {"Records":[...]} blobs: one output row
+    per array element (parse_json_multi.go:163-320) — from_json +
+    explode, no brace-balancing tokenizer needed."""
+    recs = F.from_json(F.col(text_col), "STRUCT<Records: ARRAY<STRING>>")
+    return (
+        df.withColumn("_rec", F.explode(recs["Records"]))
+        .withColumn("fields", json_flatten(F.col("_rec")))
+        .drop("_rec")
+    )

@@ -1,0 +1,114 @@
+"""Per-partition lineage + resumable commits (the north_rule checkpoint).
+
+The reference has no resume story — a killed run restarts from zero.
+Here the fact table is hash-bucketed on conv_id into ``n_groups`` commit
+groups; each group is processed by one Spark job that (1) overwrites that
+group's own output directory (idempotent — a re-run of a half-written
+group replaces it) and (2) only then writes a manifest JSON recording the
+group's lineage: bucket range, per-sink row counts, input rows, wall
+time. A restarted run skips every group whose manifest exists, so
+committed partitions are never reprocessed; a crashed group's partial
+parquet is overwritten on retry. This is batch Iceberg-commit semantics
+(write-then-swap) expressed on a plain file sink — on a real cluster the
+same structure maps 1:1 onto `writeTo(...).overwritePartitions()` with
+snapshot isolation.
+
+Metrics ride on ``df.observe`` (zero extra passes over the data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from .route import SINKS, salted_repartition
+
+MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(out_dir: str, group: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"group-{group:04d}.json")
+
+
+def committed_groups(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for name in os.listdir(mdir):
+        if name.startswith("group-") and name.endswith(".json"):
+            out.add(int(name[6:-5]))
+    return out
+
+
+def write_routed(
+    routed: DataFrame,
+    out_dir: str,
+    n_groups: int = 8,
+    resume: bool = False,
+    partitions_per_group: int | None = None,
+    salt_buckets: int = 16,
+) -> list[dict]:
+    """Write a routed DataFrame to per-sink parquet with group commits.
+
+    Returns the manifest entries written this run (empty entries for
+    groups skipped on resume are not re-emitted).
+    """
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    done = committed_groups(out_dir) if resume else set()
+    group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
+    manifests = []
+    for g in range(n_groups):
+        if g in done:
+            continue
+        sub = routed.filter(group_col == g)
+        obs = Observation(f"group-{g}")
+        counters = [F.count(F.lit(1)).alias("rows")] + [
+            F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(f"rows_{s}")
+            for s in SINKS
+        ]
+        sub = sub.observe(obs, *counters)
+        sub = salted_repartition(
+            sub, partitions_per_group, salt_buckets, sort_cols=("sink", "conv_id", "turn_idx")
+        )
+        t0 = time.time()
+        target = os.path.join(out_dir, "data", f"group={g}")
+        sub.write.partitionBy("sink").mode("overwrite").parquet(target)
+        entry = {
+            "group": g,
+            "path": target,
+            "wall_sec": round(time.time() - t0, 3),
+            **{k: v for k, v in obs.get.items()},
+        }
+        # manifest write is the commit point — crash before this line
+        # leaves the group uncommitted and it is redone (overwrite) on resume
+        with open(_manifest_path(out_dir, g), "w") as f:
+            json.dump(entry, f)
+        manifests.append(entry)
+    return manifests
+
+
+def read_sinks(spark, out_dir: str) -> DataFrame:
+    """Read everything committed so far (partition columns group, sink)."""
+    return spark.read.option("basePath", os.path.join(out_dir, "data")).parquet(
+        os.path.join(out_dir, "data", "group=*", "sink=*")
+    )
+
+
+def sink_counts(spark, out_dir: str) -> dict[str, int]:
+    """Aggregate per-sink row counts from the lineage manifests alone —
+    no data re-scan (the A3-style verified aggregate)."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    totals: dict[str, int] = {s: 0 for s in SINKS}
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            e = json.load(f)
+        for s in SINKS:
+            totals[s] += int(e.get(f"rows_{s}", 0) or 0)
+    return totals

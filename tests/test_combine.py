@@ -1,0 +1,56 @@
+"""Combine sink (S9) + fuzzy header resolution (F5) + multimodal plumbing."""
+
+from pyspark.sql import functions as F
+
+from logboost_spark.operators.combine import combine, combine_files, fuzzy_resolve
+from logboost_spark.operators.multimodal import extract_features, gen_media_fixture, sample_frames
+from logboost_spark.semantics import SOURCE_FILE_COL
+
+
+def test_combine_union_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "id bigint, a string")
+    b = spark.createDataFrame([(2, "y")], "id bigint, b string")
+    out = combine([a, b])
+    rows = {r.id: (r.a, r.b) for r in out.collect()}
+    assert rows[1] == ("x", None)
+    assert rows[2] == (None, "y")
+
+
+def test_combine_files_sourcefile(spark, tmp_path):
+    p1, p2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    spark.createDataFrame([(1, "x")], "id bigint, a string").write.parquet(p1)
+    spark.createDataFrame([(2, "y")], "id bigint, b string").write.parquet(p2)
+    out = combine_files(spark, [p1, p2])
+    assert SOURCE_FILE_COL in out.columns
+    assert out.filter(F.col(SOURCE_FILE_COL).contains("f1")).count() == 1
+
+
+def test_fuzzy_resolve(spark):
+    df = spark.createDataFrame([(1, "a", "b")], "id bigint, ClientIpAddress string, other string")
+    assert fuzzy_resolve(df, "ClientIpAddress") == "ClientIpAddress"
+    assert fuzzy_resolve(df, "ClientIp") == "ClientIpAddress"  # substring containment
+    assert fuzzy_resolve(df, "missing") is None
+
+
+def test_multimodal_features(spark):
+    media = gen_media_fixture(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.features) == 16
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+        assert r.n_bytes > 0
+    # determinism: same payload → same features
+    again = extract_features(media).collect()
+    assert {r.media_id: r.features for r in again} == {r.media_id: r.features for r in feats}
+
+
+def test_multimodal_frame_sampling(spark):
+    media = gen_media_fixture(spark, 30)
+    frames = sample_frames(media, every_ms=500)
+    per = frames.groupBy("media_id").count().collect()
+    assert per  # videos exist
+    meta = {r.media_id: r.meta.duration_ms for r in media.filter(F.col("kind") == "video").collect()}
+    for r in per:
+        want = (meta[r.media_id] - 1) // 500 + 1
+        assert r["count"] == want

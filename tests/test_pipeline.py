@@ -1,0 +1,86 @@
+"""End-to-end pipeline: per-sink counts vs oracle, stable ordering,
+resume-from-checkpoint semantics."""
+
+import glob
+import json
+import os
+import shutil
+
+from logboost_spark import oracle as O
+from logboost_spark.fixtures import transcripts as TR
+from logboost_spark.plans.checkpoint import committed_groups, read_sinks, sink_counts
+from logboost_spark.plans.pipeline import run_pipeline
+
+
+def _oracle_sink_counts(pdf):
+    counts = {}
+    for r in pdf.itertuples():
+        e = O.enrich_text(r.text)
+        s = O.route_category({**e, "role": r.role, "tool": r.tool})
+        counts[s] = counts.get(s, 0) + 1
+    return counts
+
+
+def test_pipeline_counts_and_resume(spark, lookups, tmp_path):
+    out = str(tmp_path / "sinks")
+    pdf = TR.gen_pandas(3000)
+    sdf = spark.createDataFrame(pdf)
+
+    manifests = run_pipeline(
+        spark, sdf, lookups, out, n_groups=4, partitions_per_group=4,
+        use_whois=False, use_idb=False,
+    )
+    assert len(manifests) == 4
+    got = sink_counts(spark, out)
+    want = _oracle_sink_counts(pdf)
+    assert {k: v for k, v in got.items() if v} == want
+
+    # routed-row sets: every turn lands in exactly one sink, none lost
+    allrows = read_sinks(spark, out)
+    assert allrows.count() == 3000
+    assert allrows.select("conv_id", "turn_idx").distinct().count() == 3000
+
+    # --- stable (conv_id, turn_idx) order within every output file -------
+    files = glob.glob(os.path.join(out, "data", "group=*", "sink=*", "*.parquet"))
+    assert files
+    import pandas as pd
+
+    for f in files[:20]:
+        part = pd.read_parquet(f, columns=["conv_id", "turn_idx"])
+        key = list(zip(part["conv_id"], part["turn_idx"]))
+        assert key == sorted(key), f
+
+    # --- resume: nuke 2 groups' commits, rerun, content identical --------
+    for g in [1, 3]:
+        os.remove(os.path.join(out, "_manifest", f"group-{g:04d}.json"))
+        shutil.rmtree(os.path.join(out, "data", f"group={g}"))
+    assert committed_groups(out) == {0, 2}
+    before = {
+        g: os.path.getmtime(os.path.join(out, "_manifest", f"group-{g:04d}.json"))
+        for g in [0, 2]
+    }
+    redo = run_pipeline(
+        spark, sdf, lookups, out, n_groups=4, partitions_per_group=4, resume=True,
+        use_whois=False, use_idb=False,
+    )
+    assert sorted(m["group"] for m in redo) == [1, 3]  # committed groups skipped
+    for g, mt in before.items():
+        assert os.path.getmtime(os.path.join(out, "_manifest", f"group-{g:04d}.json")) == mt
+    assert sink_counts(spark, out) == got  # identical final counts
+    assert read_sinks(spark, out).count() == 3000
+
+
+def test_manifest_metrics(spark, lookups, tmp_path):
+    out = str(tmp_path / "m")
+    sdf = spark.createDataFrame(TR.gen_pandas(500))
+    manifests = run_pipeline(
+        spark, sdf, lookups, out, n_groups=2, partitions_per_group=2,
+        use_whois=False, use_idb=False,
+    )
+    total = sum(m["rows"] for m in manifests)
+    assert total == 500
+    for m in manifests:
+        assert m["rows"] == sum(m[f"rows_{s}"] for s in ["threat", "internal", "noip", "tool_activity", "general"])
+        assert "wall_sec" in m
+        with open(os.path.join(out, "_manifest", f"group-{m['group']:04d}.json")) as f:
+            assert json.load(f)["rows"] == m["rows"]

@@ -1,0 +1,68 @@
+"""Text analysis functions + misc scalar helpers."""
+
+from pyspark.sql import functions as F
+
+from logboost_spark.functions.goformat import go_layout_to_jvm
+from logboost_spark.functions.textfns import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    whitespace_token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c", 3, 3), ("", 0, 0), ("hello, world! 42", 3, 6), ("  x  ", 1, 1)],
+        "text string, ws int, bpe int",
+    )
+    got = df.select(
+        "ws", "bpe",
+        whitespace_token_count(F.col("text")).alias("g_ws"),
+        bpe_ish_token_count(F.col("text")).alias("g_bpe"),
+    ).collect()
+    for r in got:
+        assert r.g_ws == r.ws and r.g_bpe == r.bpe, r
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house", "en"),
+            ("der hund und die katze ist hier", "de"),
+            ("le chat et la maison est grande", "fr"),
+            ("xyzzy plugh qwerty", "und"),
+        ],
+        "text string, want string",
+    )
+    got = df.select("want", lang_id(F.col("text")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, (r.want, r.got)
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox and the lazy dog of doom",), ("!!! ??? ### $$$ %%%",)],
+        "text string",
+    )
+    rows = df.select(quality_score(F.col("text")).alias("q")).collect()
+    good, bad = rows[0].q, rows[1].q
+    assert 0.0 <= bad < good <= 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma beta alpha",), ("alpha beta gamma",)],
+        "text string",
+    )
+    fps = [r.fp for r in df.select(doc_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]
+
+
+def test_go_layout_translation():
+    assert go_layout_to_jvm("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss"
+    assert go_layout_to_jvm("01/02/2006") == "MM/dd/yyyy"
+    assert go_layout_to_jvm("Jan 2 15:04:05") == "MMM d HH:mm:ss"
+    assert go_layout_to_jvm("2006-01-02T15:04:05.000Z07:00") == "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"

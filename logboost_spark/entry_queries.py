@@ -193,6 +193,36 @@ def t_turn_order(spark, sf_dir):
     )
 
 
+def ti_build_ingest(spark, sf_dir):
+    """S8/TI-build entry point: ingest transcript lines as an intel feed
+    (comment/blank skip, first-IPv4 extract, private filter, dedupe)."""
+    from .operators.ti_build import ingest_intel_lines
+
+    lines = _transcripts(spark, sf_dir).select(F.col("text").alias("line"))
+    return ingest_intel_lines(lines, "transcript_feed", "suspicious")
+
+
+def ti_category_counts_q(spark, sf_dir):
+    """A3: per-category counts over the TI dimension table."""
+    from .operators.ti_build import ti_category_counts
+
+    return ti_category_counts(build_lookup_dfs(spark)["ti"])
+
+
+def ti_summary_q(spark, sf_dir):
+    """A2: distinct indicator count."""
+    from .operators.ti_build import summarize_ti
+
+    return summarize_ti(build_lookup_dfs(spark)["ti"])
+
+
+def ti_feed_listing_q(spark, sf_dir):
+    """A4: per-feed indicator counts."""
+    from .operators.ti_build import ti_feed_listing
+
+    return ti_feed_listing(build_lookup_dfs(spark)["ti"])
+
+
 # ===========================================================================
 # TPC-H-ish relational coverage over the driver tables
 # ===========================================================================
@@ -399,6 +429,8 @@ def emb_near_dups(spark, sf_dir):
 
 
 def build_oracles() -> dict[str, str]:
+    from .functions.ip import IPV4_RE as IPV4_FOR_SQL
+
     mh = X.minhash_select_terms("hv", 8)
     P = MERSENNE_P
     params = minhash_params(8)
@@ -450,6 +482,19 @@ SELECT conv_id, turn_idx, lb_IP, lb_ASN, lb_ASN_Number, lb_Country, lb_City,
        lb_ThreatCategories, lb_ThreatFeedCount, lb_ThreatFeeds, lb_Domains,
        lb_TLD, sink
 FROM routed""",
+        "ti_build_ingest": f"""
+WITH lines AS (SELECT trim(text) AS t FROM read_parquet('{X.TRANSCRIPTS_001}')),
+ex AS (SELECT t, regexp_extract(t, '({IPV4_FOR_SQL})', 1) AS ip FROM lines
+       WHERE len(t) > 0 AND NOT t LIKE '#%'),
+ok AS (SELECT DISTINCT ip FROM ex WHERE ip <> '' AND NOT {X.sql_priv4('ip')})
+SELECT ip, 'transcript_feed' AS feed_name, 'suspicious' AS category FROM ok""",
+        "ti_category_counts_q": f"""
+SELECT category, count(*) AS cnt FROM {X._lk('ti')} GROUP BY category""",
+        "ti_summary_q": f"""
+SELECT count(DISTINCT ip) AS distinct_ips FROM {X._lk('ti')}""",
+        "ti_feed_listing_q": f"""
+SELECT feed_name, count(DISTINCT ip) AS distinct_ips, count(*) AS rows
+FROM {X._lk('ti')} GROUP BY feed_name""",
         "t_date_filter": f"""
 SELECT role, count(*) AS cnt FROM read_parquet('{X.TRANSCRIPTS_001}')
 WHERE ts BETWEEN TIMESTAMP '2023-06-01 00:10:00' AND TIMESTAMP '2023-06-01 03:00:00'
@@ -631,6 +676,10 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_date_filter": events_date_filter,
     "events_sessionize": events_sessionize,
+    "ti_build_ingest": ti_build_ingest,
+    "ti_category_counts_q": ti_category_counts_q,
+    "ti_summary_q": ti_summary_q,
+    "ti_feed_listing_q": ti_feed_listing_q,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,

@@ -72,12 +72,26 @@ STRICT_V6_RE = (
 
 
 def ipv4_to_long(ip: Column) -> Column:
-    """Dotted-quad string → 32-bit value in a BIGINT (null if malformed)."""
-    octets = F.transform(F.split(ip, r"\."), lambda x: x.try_cast("bigint"))
-    ok = (F.size(octets) == 4) & F.forall(
-        octets, lambda x: x.isNotNull() & (x >= 0) & (x <= 255)
-    )
-    val = F.aggregate(octets, F.lit(0).cast("bigint"), lambda acc, x: acc * 256 + x)
+    """Dotted-quad string → 32-bit value in a BIGINT (null if malformed).
+
+    Deliberately regex-free and HOF-free: higher-order functions
+    (transform/aggregate/forall) fall out of whole-stage codegen into
+    interpreted eval, and a regex `split` inside them put all executor
+    threads in StringSplit.nullSafeEval (measured 10-20× slowdown of the
+    whole enrich stage). substring_index chains stay in codegen.
+    """
+    o = [
+        F.substring_index(ip, ".", 1),
+        F.substring_index(F.substring_index(ip, ".", 2), ".", -1),
+        F.substring_index(F.substring_index(ip, ".", 3), ".", -1),
+        F.substring_index(ip, ".", -1),
+    ]
+    v = [x.try_cast("bigint") for x in o]
+    four_parts = (F.length(ip) - F.length(F.replace(ip, F.lit("."), F.lit("")))) == 3
+    ok = four_parts
+    for x in v:
+        ok = ok & x.isNotNull() & (x >= 0) & (x <= 255)
+    val = ((v[0] * 256 + v[1]) * 256 + v[2]) * 256 + v[3]
     return F.when(ok, val)
 
 
@@ -99,11 +113,37 @@ _PRIVATE_V4_RANGES = [
 
 
 def is_private_ipv4_long(ip_long: Column) -> Column:
-    """Privacy predicate on the integer IPv4 form (null-safe → false)."""
+    """Privacy predicate on the integer IPv4 form (null-safe → false).
+
+    NOTE: references ``ip_long`` ~20×. Pass an ATTRIBUTE (a staged
+    column), never a computed expression — inlining a conversion tree
+    here multiplies it 20× and the optimizer then spends minutes
+    copying the blown-up tree (measured).
+    """
     cond = F.lit(False)
     for lo, hi in _PRIVATE_V4_RANGES:
         cond = cond | ip_long.between(F.lit(lo), F.lit(hi))
     return F.coalesce(cond, F.lit(False))
+
+
+def is_private_ipv4_str_compact(x: Column) -> Column:
+    """String-form privacy test for canonical dotted quads — one
+    octet-prefix pass, ~50 expression nodes total. Used inside the
+    rare-path array lambda where attribute staging isn't possible.
+    Range-equivalent to is_private_ipv4_long for regex-extracted
+    candidates (canonical quads)."""
+    o1 = F.substring_index(x, ".", 1).try_cast("int")
+    o2 = F.substring_index(F.substring_index(x, ".", 2), ".", -1).try_cast("int")
+    p2 = F.substring_index(x, ".", 2)
+    p3 = F.substring_index(x, ".", 3)
+    return (
+        o1.isin(127, 10, 255)
+        | o1.between(224, 239)
+        | ((o1 == 172) & o2.between(16, 31))
+        | p2.isin("192.168", "169.254")
+        | p3.isin("192.0.0", "192.0.2")
+        | (x == "0.0.0.0")
+    )
 
 
 def is_private_ipv6_str(ip: Column) -> Column:
@@ -149,9 +189,26 @@ def is_valid_ip(ip: Column) -> Column:
     ).otherwise(ipv4_to_long(ip).isNotNull())
 
 
-def ip_extract_stage(df, text_col: str = "text", ip_col: str = "_ip", cls_col: str = "_cls"):
+# Azure audit ClientIP probe (vars/vars.go:14, helpers/helpers.go:274-293)
+AZURE_CLIENT_IP_RE = r'(ClientIP|ClientIPAddress)":"(.*?)",'
+
+
+def ip_extract_stage(
+    df,
+    text_col: str = "text",
+    ip_col: str = "_ip",
+    cls_col: str = "_cls",
+    ip_col_name: str | None = None,
+    json_col_name: str | None = None,
+):
     """Append ``ip_col`` (extracted IP or null) + ``cls_col``
     (noip|pvt|pub) via STAGED withColumns.
+
+    F4 source precedence (helpers/helpers.go:304-345): with
+    ``ip_col_name``, that column's value wins when it parses as an IP,
+    else the regex runs over that cell only; with ``json_col_name``, the
+    Azure ClientIP probe wins when it matches, else the regex runs over
+    the whole row; default is regex over the whole row.
 
     Performance-critical shape: every heavy expression (the two regex
     scans) is computed exactly once into its own column; downstream
@@ -161,19 +218,58 @@ def ip_extract_stage(df, text_col: str = "text", ip_col: str = "_ip", cls_col: s
     measured: 12 MiB codegen task binaries and minutes of Catalyst
     tree-walking. Staged, the plan stays linear.
     """
-    t = F.col(text_col)
-    df = df.withColumn("_ips4", extract_all_ipv4(t))
+    if ip_col_name is not None:
+        src = F.col(ip_col_name)
+        df = df.withColumn("_direct", F.when(is_valid_ip(src), src))
+        t = src
+    elif json_col_name is not None:
+        probe = F.regexp_extract(F.col(json_col_name), AZURE_CLIENT_IP_RE, 2)
+        df = df.withColumn("_direct", F.when(F.length(probe) > 0, probe))
+        t = F.col(text_col)
+    else:
+        df = df.withColumn("_direct", F.lit(None).cast("string"))
+        t = F.col(text_col)
+    # Common case first, fully codegen'd: if the FIRST IPv4 match is
+    # public it IS the answer ("first public else first"). Only rows
+    # whose first match is private pay the extract-all + interpreted
+    # per-element filter (higher-order functions never codegen).
+    # staged separately: nullif()/when() would duplicate the regex child
     df = df.withColumn(
-        "_pub4", F.filter(F.col("_ips4"), lambda x: ~is_private_ipv4_long(ipv4_to_long(x)))
+        "_m1raw",
+        F.when(F.col("_direct").isNull(), F.regexp_extract(t, "(" + IPV4_RE + ")", 1)),
+    )
+    df = df.withColumn("_m1", F.when(F.length("_m1raw") > 0, F.col("_m1raw")))
+    df = df.withColumn("_m1_v4l", ipv4_to_long(F.col("_m1")))
+    df = df.withColumn("_m1_pub", ~is_private_ipv4_long(F.col("_m1_v4l")))
+    df = df.withColumn(
+        "_ips4",
+        F.when(F.col("_m1").isNotNull() & ~F.col("_m1_pub"), extract_all_ipv4(t)),
     )
     df = df.withColumn(
-        "_ip6", F.when(F.size("_ips4") == 0, extract_first_ipv6(t))
+        "_pub4", F.filter(F.col("_ips4"), lambda x: ~is_private_ipv4_str_compact(x))
     )
     df = df.withColumn(
-        ip_col, F.coalesce(F.get("_pub4", 0), F.get("_ips4", 0), F.col("_ip6"))
+        "_ip6",
+        F.when(F.col("_direct").isNull() & F.col("_m1").isNull(), extract_first_ipv6(t)),
+    )
+    df = df.withColumn(
+        ip_col,
+        F.coalesce(
+            F.col("_direct"),
+            F.when(F.col("_m1_pub"), F.col("_m1")),
+            F.get("_pub4", 0),
+            F.col("_m1"),
+            F.col("_ip6"),
+        ),
     )
     ip = F.col(ip_col)
-    df = df.withColumn("_v4l", ipv4_to_long(ip))
+    # reuse _m1_v4l when the answer IS _m1 (common); recompute otherwise
+    df = df.withColumn(
+        "_v4l",
+        F.when(ip == F.col("_m1"), F.col("_m1_v4l")).otherwise(
+            F.when(~ip.contains(":"), ipv4_to_long(ip))
+        ),
+    )
     df = df.withColumn(
         "_valid",
         F.when(ip.isNull(), F.lit(False))
@@ -192,7 +288,10 @@ def ip_extract_stage(df, text_col: str = "text", ip_col: str = "_ip", cls_col: s
         .when(F.col("_priv"), F.lit("pvt"))
         .otherwise(F.lit("pub")),
     )
-    return df.drop("_ips4", "_pub4", "_ip6", "_valid", "_priv")
+    return df.drop(
+        "_ips4", "_pub4", "_ip6", "_valid", "_priv", "_direct",
+        "_m1raw", "_m1", "_m1_v4l", "_m1_pub",
+    )
 
 
 def first_public_ip(text: Column) -> Column:

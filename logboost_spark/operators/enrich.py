@@ -71,13 +71,32 @@ def enrich(
     use_whois: bool = True,
     use_idb: bool = True,
     dc_asn_numbers: list[int] | None = None,
+    ip_col_name: str | None = None,
+    json_col_name: str | None = None,
+    barrier: bool = True,
 ) -> DataFrame:
     """Append the lb_* enrichment suffix. Flags mirror -useti/-usedns/
-    -usewhois/-useidb; column order is fixed (vars/vars.go:51-56)."""
-    df = ip_extract_stage(df, text_col)
+    -usewhois/-useidb (+ -ipcol/-jsoncol source precedence); column
+    order is fixed (vars/vars.go:51-56).
+
+    ``barrier`` cuts the plan lineage between the extraction stage and
+    the join pyramid with a lazy localCheckpoint: the Catalyst analyzer
+    otherwise re-walks the big extraction expression trees once per
+    join, superlinearly — measured 20s → 120s → minutes of pure
+    driver time as joins accumulate. The barrier also materializes the
+    extraction once, so multi-action consumers (the per-group commit
+    jobs) don't recompute it. On a cluster with unreliable local disks
+    prefer `spark.checkpoint.dir` + .checkpoint(), or stage the
+    extraction to a table.
+    """
+    df = ip_extract_stage(
+        df, text_col, ip_col_name=ip_col_name, json_col_name=json_col_name
+    )
     pub = F.col("_cls") == "pub"
     df = df.withColumn("_join_ip", F.when(pub, F.col("_ip")))
     df = df.withColumn("_join_v4", F.when(pub, F.col("_v4l"))).drop("_v4l")
+    if barrier:
+        df = df.localCheckpoint(eager=False)
 
     # --- geo (J1/J2): prefix-bucketed broadcast range joins -------------
     df = range_lookup_join(

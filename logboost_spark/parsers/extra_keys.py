@@ -1,0 +1,50 @@
+"""Shallow-parse EXTRA_KEYS overflow (P3/P6/P9 shallow mode).
+
+With ``-fullparse`` off, the reference fixes the column set to the FIRST
+record's keys; later records' unseen keys overflow into one catch-all
+``EXTRA_KEYS`` cell encoded ``"k:v, "`` (parsers/parse_json.go:62-67,
+parse_kv.go:60-65, parse_cef.go:81-96; vars/vars.go:12).
+
+Columnar equivalent: given the fields map and the known key list, split
+it into known-key columns + an overflow string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..semantics import EXTRA_KEYS_COL
+
+
+def first_record_keys(df: DataFrame, fields_col: str = "fields") -> list[str]:
+    """Shallow-mode schema: keys of the first record (driver-side peek,
+    the columnar analog of reading line 1)."""
+    row = df.select(F.map_keys(F.col(fields_col)).alias("k")).first()
+    return list(row.k) if row else []
+
+
+def shallow_project(
+    df: DataFrame, known_keys: list[str], fields_col: str = "fields"
+) -> DataFrame:
+    """fields map → one column per known key + EXTRA_KEYS overflow.
+
+    Overflow encoding matches the reference: ``k:v, `` concatenation
+    (parse_kv.go:193).
+    """
+    m = F.col(fields_col)
+    known = F.array(*[F.lit(k) for k in known_keys])
+    extra = F.map_filter(m, lambda k, _: ~F.array_contains(known, k))
+    extra_str = F.concat_ws(
+        "",
+        F.transform(
+            F.map_entries(extra),
+            lambda e: F.concat(e["key"], F.lit(":"), e["value"], F.lit(", ")),
+        ),
+    )
+    cols = [m[k].alias(k) for k in known_keys]
+    return df.select(
+        *[c for c in df.columns if c != fields_col],
+        *cols,
+        extra_str.alias(EXTRA_KEYS_COL),
+    )

@@ -195,7 +195,11 @@ def _flatten_json(obj: dict, prefix: str = "") -> dict[str, str]:
 
 
 def _flatten_one(s) -> dict | None:
-    if not isinstance(s, str):
+    # PERF: Spark hoists pandas UDFs out of `when` branches and evaluates
+    # them on EVERY row (ArrowEvalPython can't be conditional), so the
+    # non-JSON fast path must not raise — a raised-and-caught ValueError
+    # per non-JSON row made the fused parse stage ~20× slower.
+    if not isinstance(s, str) or not s.lstrip()[:1] == "{":
         return None
     try:
         obj = json.loads(s)

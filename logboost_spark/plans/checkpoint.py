@@ -52,15 +52,27 @@ def write_routed(
     resume: bool = False,
     partitions_per_group: int | None = None,
     salt_buckets: int = 16,
+    reuse_plan: bool = False,
 ) -> list[dict]:
     """Write a routed DataFrame to per-sink parquet with group commits.
 
-    Returns the manifest entries written this run (empty entries for
-    groups skipped on resume are not re-emitted).
+    Each commit group is its own Spark job (that's what makes the commit
+    granular and the run resumable), so naively the upstream plan runs
+    n_groups times. ``reuse_plan`` persists the routed frame once and
+    lets every group job read from it — measured NET-NEGATIVE here
+    (map-column rows blow up the heap and GC costs more than the
+    recompute saves), so it defaults off. On a real cluster at 10^12
+    rows neither mode applies: the Iceberg source is bucket-partitioned
+    and each group job prunes to its own partitions, so the recompute
+    touches each input row exactly once overall.
+
+    Returns the manifest entries written this run.
     """
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     done = committed_groups(out_dir) if resume else set()
     group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
+    if reuse_plan and len(done) < n_groups:
+        routed = routed.persist()
     manifests = []
     for g in range(n_groups):
         if g in done:
@@ -89,6 +101,8 @@ def write_routed(
         with open(_manifest_path(out_dir, g), "w") as f:
             json.dump(entry, f)
         manifests.append(entry)
+    if reuse_plan:
+        routed.unpersist()
     return manifests
 
 

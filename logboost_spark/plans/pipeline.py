@@ -49,16 +49,32 @@ def run_pipeline(
     n_groups: int = 8,
     partitions_per_group: int | None = None,
     do_parse: bool = True,
+    stage_barrier: bool = False,
     **enrich_flags,
 ) -> list[dict]:
-    """Full run; returns the lineage manifest entries written."""
+    """Full run; returns the lineage manifest entries written.
+
+    ``stage_barrier`` localCheckpoints the routed frame so group jobs
+    share one upstream computation — measured NET-NEGATIVE (3-4×) for
+    this pipeline: materializing wide map-typed rows costs more than
+    recomputing the codegen'd stages, same lesson as write_routed's
+    reuse_plan. Default off; the enrich-internal extraction barrier
+    (cheap, slim rows) stays on.
+    """
     df = transcripts
     if start is not None and end is not None:
         df = date_filter(df, "ts", None, start, end)
+    # ORDER MATTERS: enrichment's broadcast joins re-copy every row per
+    # operator; carrying the parse stage's map<string,string> column
+    # through them measured ~16× slower than enriching slim rows.
+    # Parse AFTER enrich so the fields map is materialized once, right
+    # before the single routed shuffle.
+    df = enrich(df, lookups, **enrich_flags)
     if do_parse:
         df = parse_stage(df)
-    df = enrich(df, lookups, **enrich_flags)
     routed = route_stage(df)
+    if stage_barrier:
+        routed = routed.localCheckpoint(eager=False)
     return write_routed(
         routed,
         out_dir,

@@ -1,0 +1,95 @@
+"""spark-submit entry point — the CLI face of the engine.
+
+Mirrors the reference's flag surface (main.go:24-105) on Spark terms:
+
+    spark-submit --py-files logboost_spark.zip main.py \
+        --input  /path/to/transcripts_parquet_or_iceberg \
+        --output /path/to/sinks \
+        --startdate 2023-06-01 --enddate 2023-06-02 \
+        --ipcol lb_src --jsoncol AuditData \
+        --no-ti --no-dns --no-whois --no-idb \
+        --groups 16 --resume --combine
+
+Reference-flag mapping: -logdir→--input, -outputdir→--output,
+-startdate/-enddate/-datecol/-dateformat→same names, -useti/-usedns/
+-usewhois/-useidb→--no-* inverses (enrichments default ON here),
+-ipcol/-jsoncol→same, -combine→--combine. Concurrency knobs
+(-maxgoperfile/-batchsize/-concurrentfiles/-writebuffer) have no
+equivalent: Spark's scheduler owns parallelism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="logboost_spark pipeline")
+    p.add_argument("--input", required=True, help="transcript table path (parquet)")
+    p.add_argument("--output", required=True, help="sink root directory")
+    p.add_argument("--startdate", default=None)
+    p.add_argument("--enddate", default=None)
+    p.add_argument("--datecol", default="ts")
+    p.add_argument("--dateformat", default=None, help="Go layout (translated to JVM)")
+    p.add_argument("--ipcol", default=None)
+    p.add_argument("--jsoncol", default=None)
+    p.add_argument("--no-ti", action="store_true")
+    p.add_argument("--no-dns", action="store_true")
+    p.add_argument("--no-whois", action="store_true")
+    p.add_argument("--no-idb", action="store_true")
+    p.add_argument("--no-parse", action="store_true")
+    p.add_argument("--groups", type=int, default=8, help="commit groups (resume units)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--combine", action="store_true", help="write combined union of all sinks")
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores (tests only)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from logboost_spark.session import get_spark
+    from logboost_spark.fixtures.lookups import build_lookup_dfs
+    from logboost_spark.functions.goformat import go_layout_to_jvm  # noqa: F401
+    from logboost_spark.plans.pipeline import run_pipeline, date_filter
+    from logboost_spark.plans.checkpoint import read_sinks, sink_counts
+
+    spark = get_spark(app_name="logboost_spark_cli", cores=args.cores)
+    transcripts = spark.read.parquet(args.input)
+    if args.startdate and args.enddate:
+        transcripts = date_filter(
+            transcripts, args.datecol, args.dateformat, args.startdate, args.enddate
+        )
+    lookups = build_lookup_dfs(spark)
+    manifests = run_pipeline(
+        spark,
+        transcripts,
+        lookups,
+        args.output,
+        resume=args.resume,
+        n_groups=args.groups,
+        do_parse=not args.no_parse,
+        use_ti=not args.no_ti,
+        use_dns=not args.no_dns,
+        use_whois=not args.no_whois,
+        use_idb=not args.no_idb,
+        ip_col_name=args.ipcol,
+        json_col_name=args.jsoncol,
+    )
+    counts = sink_counts(spark, args.output)
+    if args.combine:
+        from pyspark.sql import functions as F
+
+        read_sinks(spark, args.output).withColumn(
+            "SourceFile", F.input_file_name()
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "combined"))
+    print(json.dumps({"groups_written": len(manifests), "sink_counts": counts}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,49 @@
+"""Plan-shape regression tests: the physical plans we designed for scale
+must stay that way (broadcast joins, pushed filters, no nested loops)."""
+
+from pyspark.sql import functions as F
+
+from logboost_spark.fixtures.transcripts import fixture_path
+from logboost_spark.operators.enrich import enrich
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrich_all_joins_broadcast(spark, lookups):
+    tr = spark.read.parquet(fixture_path("sf0.001"))
+    plan = _plan(enrich(tr, lookups))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # fact side must never shuffle
+    assert plan.count("BroadcastHashJoin") >= 6  # geo×2, ti, dns, whois×2, idb
+
+
+def test_parquet_filter_pushdown(spark):
+    tr = spark.read.parquet(fixture_path("sf0.001"))
+    q = tr.filter(F.col("conv_id") == "conv-00000001").select("conv_id", "turn_idx")
+    plan = _plan(q)
+    # (no IsNotNull: constraint propagation is disabled, see session.py)
+    assert "EqualTo(conv_id,conv-00000001)" in plan.split("PushedFilters: ")[1]
+    # column pruning: text must not be read
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    from logboost_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "vec_id bigint, embedding array<float>"
+    )
+    plan = _plan(cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 2), k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_no_cartesian(spark):
+    from logboost_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(i, f"tok{i} common words") for i in range(20)], "doc_id bigint, text string")
+    plan = _plan(minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -14,7 +14,7 @@ from logboost_spark.functions.textfns import (
 
 def test_token_counts(spark):
     df = spark.createDataFrame(
-        [("a b  c", 3, 3), ("", 0, 0), ("hello, world! 42", 3, 6), ("  x  ", 1, 1)],
+        [("a b  c", 3, 3), ("", 0, 0), ("hello, world! 42", 3, 5), ("  x  ", 1, 1)],
         "text string, ws int, bpe int",
     )
     got = df.select(

@@ -351,10 +351,12 @@ def doc_exact_dedup(spark, sf_dir):
 
 def doc_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # bigint casts: DuckDB len() yields int64 while Spark size() yields
+    # int32 — the driver compares schemas
     return d.select(
         "doc_id",
-        whitespace_token_count(F.col("text")).alias("ws_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        whitespace_token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
     )
 
 
@@ -363,7 +365,7 @@ def doc_quality(spark, sf_dir):
     f = quality_features(F.col("text"))
     return d.select(
         "doc_id",
-        f["n_tokens"].alias("n_tokens"),
+        f["n_tokens"].cast("bigint").alias("n_tokens"),
         f["stopword_ratio"].alias("stopword_ratio"),
         quality_score(F.col("text")).alias("quality"),
     )

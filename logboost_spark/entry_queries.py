@@ -56,6 +56,12 @@ def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich(df, build_lookup_dfs(spark), use_whois=False, use_idb=False)
 
 
+def _enriched_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All flags on — the J7/J8/J9 (WHOIS + Shodan IDB) join pyramid."""
+    df = _transcripts(spark, sf_dir)
+    return enrich(df, build_lookup_dfs(spark), use_whois=True, use_idb=True)
+
+
 # ===========================================================================
 # Transcript pipeline (the north-star queries)
 # ===========================================================================
@@ -133,6 +139,15 @@ def t_pipeline_full(spark, sf_dir):
     )
 
 
+def t_pipeline_whois(spark, sf_dir):
+    """J7/J8/J9 verified end-to-end: all 28 lb_* enrichment columns with
+    the WHOIS/IDB flags on, including the NA-vs-err sentinel split
+    (helpers/helpers.go:469-473; lookups are the deterministic fixtures)."""
+    from .semantics import ALL_ENRICH_FIELDS
+
+    return _enriched_full(spark, sf_dir).select("conv_id", "turn_idx", *ALL_ENRICH_FIELDS)
+
+
 def t_parse_formats(spark, sf_dir):
     """P11 router: format classification counts."""
     df = _transcripts(spark, sf_dir)
@@ -161,6 +176,51 @@ def t_parse_fields(spark, sf_dir):
             F.col("fields")["c-ip"],
             F.lit(""),
         ).alias("parsed_host"),
+    )
+
+
+def t_parse_maps(spark, sf_dir):
+    """P2/P6-P9 full-field verification: the parsed ``fields`` map of
+    every non-JSON format, projected to a sorted 'k=v;...' string so the
+    driver can value-hash map contents cross-engine."""
+    df = parse_stage(_transcripts(spark, sf_dir))
+    entries = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("fields")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ";",
+    )
+    return df.filter(~F.col("format").isin("json", "json_multi")).select(
+        "conv_id", "turn_idx", "format", entries.alias("entries")
+    )
+
+
+def t_parse_json_flat(spark, sf_dir):
+    """P3/P4 deep-flatten verification: parent_child key naming + Go-style
+    scalar stringification (bool → true/false, int → decimal), including
+    the {"Records":[...]} first-record path."""
+    df = parse_stage(_transcripts(spark, sf_dir)).filter(
+        F.col("format").isin("json", "json_multi")
+    )
+    f = F.col("fields")
+
+    def g(key, alias):
+        return F.coalesce(f[key], F.lit("")).alias(alias)
+
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "format",
+        g("type", "j_type"),
+        g("nested_k", "j_nested_k"),
+        g("ok", "j_ok"),
+        g("elapsed", "j_elapsed"),
+        g("eventName", "j_event"),
+        g("requestID", "j_reqid"),
+        g("ClientIP", "j_clientip"),
     )
 
 
@@ -430,14 +490,16 @@ def emb_near_dups(spark, sf_dir):
 # ===========================================================================
 
 
-def build_oracles() -> dict[str, str]:
+def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
     from .functions.ip import IPV4_RE as IPV4_FOR_SQL
 
     mh = X.minhash_select_terms("hv", 8)
     P = MERSENNE_P
     params = minhash_params(8)
-    cls = X.transcript_cls_cte()
-    enr = X.enriched_cte()
+    tpath = fixture_path(sf)
+    cls = X.transcript_cls_cte(tpath)
+    enr = X.enriched_cte(tpath)
+    enr_full = X.enriched_cte(tpath, full=True)
     tok = X.sql_tokens("text")
     h = X.sql_md5_long("tok")
 
@@ -484,8 +546,49 @@ SELECT conv_id, turn_idx, lb_IP, lb_ASN, lb_ASN_Number, lb_Country, lb_City,
        lb_ThreatCategories, lb_ThreatFeedCount, lb_ThreatFeeds, lb_Domains,
        lb_TLD, sink
 FROM routed""",
+        "t_pipeline_whois": enr_full
+        + """
+SELECT conv_id, turn_idx, lb_IP, lb_ASN, lb_ASN_Number, lb_Country, lb_City,
+       lb_ThreatCategories, lb_ThreatFeedCount, lb_ThreatFeeds, lb_Domains,
+       lb_TLD,
+       lb_DomainWhois_CreatedDate, lb_DomainWhois_UpdatedDate,
+       lb_DomainWhois_Country, lb_DomainWhois_Organization,
+       lb_IPWhois_CIDR, lb_IPWhois_NetName, lb_IPWhois_NetType,
+       lb_IPWhois_Organization, lb_IPWhois_Created, lb_IPWhois_Updated,
+       lb_IPWhois_Country, lb_IPWhois_Parent,
+       lb_IDB_cpes, lb_IDB_hostnames, lb_IDB_ports, lb_IDB_tags, lb_IDB_vulns
+FROM routed""",
+        "t_parse_formats": f"""
+SELECT {X.detect_format_sql('trim(text)')} AS format, count(*) AS cnt
+FROM read_parquet('{tpath}') GROUP BY 1""",
+        "t_parse_fields": f"""
+WITH p AS (SELECT conv_id, turn_idx, text,
+    {X.detect_format_sql('trim(text)')} AS format
+  FROM read_parquet('{tpath}'))
+SELECT conv_id, turn_idx, format, {X.parsed_host_sql('text')} AS parsed_host FROM p""",
+        "t_parse_maps": f"""
+WITH p AS (SELECT conv_id, turn_idx, text,
+    {X.detect_format_sql('trim(text)')} AS format
+  FROM read_parquet('{tpath}'))
+SELECT conv_id, turn_idx, format, {X.parse_entries_sql('text')} AS entries
+FROM p WHERE format NOT IN ('json', 'json_multi')""",
+        "t_parse_json_flat": f"""
+WITH p AS (SELECT conv_id, turn_idx, text,
+    {X.detect_format_sql('trim(text)')} AS format
+  FROM read_parquet('{tpath}')),
+j AS (SELECT *, CASE WHEN format = 'json_multi' THEN '$.Records[0].' ELSE '$.' END AS pfx
+  FROM p WHERE format IN ('json', 'json_multi'))
+SELECT conv_id, turn_idx, format,
+  COALESCE(json_extract_string(text, pfx || 'type'), '') AS j_type,
+  COALESCE(json_extract_string(text, pfx || 'nested.k'), '') AS j_nested_k,
+  COALESCE(json_extract_string(text, pfx || 'ok'), '') AS j_ok,
+  COALESCE(json_extract_string(text, pfx || 'elapsed'), '') AS j_elapsed,
+  COALESCE(json_extract_string(text, pfx || 'eventName'), '') AS j_event,
+  COALESCE(json_extract_string(text, pfx || 'requestID'), '') AS j_reqid,
+  COALESCE(json_extract_string(text, pfx || 'ClientIP'), '') AS j_clientip
+FROM j""",
         "ti_build_ingest": f"""
-WITH lines AS (SELECT trim(text) AS t FROM read_parquet('{X.TRANSCRIPTS_001}')),
+WITH lines AS (SELECT trim(text) AS t FROM read_parquet('{tpath}')),
 ex AS (SELECT t, regexp_extract(t, '({IPV4_FOR_SQL})', 1) AS ip FROM lines
        WHERE len(t) > 0 AND NOT t LIKE '#%'),
 ok AS (SELECT DISTINCT ip FROM ex WHERE ip <> '' AND NOT {X.sql_priv4('ip')})
@@ -498,13 +601,13 @@ SELECT count(DISTINCT ip) AS distinct_ips FROM {X._lk('ti')}""",
 SELECT feed_name, count(DISTINCT ip) AS distinct_ips, count(*) AS rows
 FROM {X._lk('ti')} GROUP BY feed_name""",
         "t_date_filter": f"""
-SELECT role, count(*) AS cnt FROM read_parquet('{X.TRANSCRIPTS_001}')
+SELECT role, count(*) AS cnt FROM read_parquet('{tpath}')
 WHERE ts BETWEEN TIMESTAMP '2023-06-01 00:10:00' AND TIMESTAMP '2023-06-01 03:00:00'
 GROUP BY role""",
         "t_turn_order": f"""
 WITH t AS (SELECT conv_id, turn_idx,
    ((turn_idx + 1) * ({X.sql_md5_long('text')} % {P})) % {P} AS w
- FROM read_parquet('{X.TRANSCRIPTS_001}'))
+ FROM read_parquet('{tpath}'))
 SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn,
        CAST(sum(w) % {P} AS BIGINT) AS conv_checksum
 FROM t GROUP BY conv_id""",
@@ -666,8 +769,11 @@ QUERIES = {
     "t_ti_agg": t_ti_agg,
     "t_route_counts": t_route_counts,
     "t_pipeline_full": t_pipeline_full,
+    "t_pipeline_whois": t_pipeline_whois,
     "t_parse_formats": t_parse_formats,
-    "t_parse_fields": t_parse_fields,  # rows-only (map-typed parse output)
+    "t_parse_fields": t_parse_fields,
+    "t_parse_maps": t_parse_maps,
+    "t_parse_json_flat": t_parse_json_flat,
     "t_date_filter": t_date_filter,
     "t_turn_order": t_turn_order,
     "q1_pricing_summary": q1_pricing_summary,

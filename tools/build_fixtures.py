@@ -90,16 +90,18 @@ write(
         )
     },
 )
+# Array form — matches the engine's lookup schema (build_lookup_dfs);
+# the DuckDB oracle pipe-joins with array_to_string in SQL.
 idb = L.shodan_idb_rows()
 write(
     "shodan_idb",
     {
         "ip": [r[0] for r in idb],
-        "cpes": ["|".join(r[1]) for r in idb],
-        "hostnames": ["|".join(r[2]) for r in idb],
-        "ports": ["|".join(str(p) for p in r[3]) for r in idb],
-        "tags": ["|".join(r[4]) for r in idb],
-        "vulns": ["|".join(r[5]) for r in idb],
+        "cpes": [list(r[1]) for r in idb],
+        "hostnames": [list(r[2]) for r in idb],
+        "ports": [[int(p) for p in r[3]] for r in idb],
+        "tags": [list(r[4]) for r in idb],
+        "vulns": [list(r[5]) for r in idb],
     },
 )
 write("dc_asn", {"asn_number": list(L.DC_ASN_NUMBERS)})

@@ -52,8 +52,13 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    from logboost_spark.entry_queries import build_oracles
+    from logboost_spark.fixtures.transcripts import sf_from_dir
+
     qs = E.queries()
-    oracles = E.oracle_sql()
+    # oracles parameterized to the sf under test so both engines read the
+    # same fixture (the driver itself always runs E.oracle_sql() at sf0.01)
+    oracles = build_oracles(sf_from_dir(SF_DIR))
     results = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

@@ -383,6 +383,60 @@ def sql_tokens(x: str, distinct: bool = True) -> str:
     return f"list_distinct({base})" if distinct else base
 
 
+def sql_shingles(x: str, n: int) -> str:
+    """Distinct word n-gram list, guarded for docs shorter than n tokens
+    (mirrors operators.dedup.shingles)."""
+    toks = f"string_split_regex(lower(trim({x})), '\\s+')"
+    if n <= 1:
+        return f"list_distinct({toks})"
+    grams = (
+        f"list_distinct(list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+    return f"(CASE WHEN len({toks}) >= {n} THEN {grams} ELSE []::VARCHAR[] END)"
+
+
+def minhash_band_union_sql(k: int, bands: int, id_col: str = "doc_id", src: str = "sig") -> str:
+    """UNION ALL selecting (id, band, bkey) per band from a signature CTE."""
+    r = k // bands
+    selects = []
+    for b in range(bands):
+        key = " || '_' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r))
+        selects.append(f"SELECT {id_col}, {b} AS band, {key} AS bkey FROM {src}")
+    return " UNION ALL ".join(selects)
+
+
+def plane_dot_sql(vec: str, plane: list[float]) -> str:
+    """vec · plane as an explicit left-assoc chain — bit-identical to the
+    engine's left-fold (both accumulate doubles in index order)."""
+    return "(" + " + ".join(f"{vec}[{i + 1}]::DOUBLE * {x!r}" for i, x in enumerate(plane)) + ")"
+
+
+def hyperplane_band_union_sql(
+    vec: str,
+    id_alias: str,
+    src_sql: str,
+    n_planes: int,
+    bands: int,
+    dim: int,
+    seed: int = 42,
+) -> str:
+    """(id, band, bkey) per band via sign-bit keys over deterministic
+    hyperplanes (mirrors operators.similarity.banded_signature_buckets)."""
+    from .operators.similarity import deterministic_planes
+
+    planes = deterministic_planes(n_planes, dim, seed)
+    r = n_planes // bands
+    selects = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN {plane_dot_sql(vec, planes[b * r + j])} > 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(r)
+        )
+        selects.append(f"SELECT {id_alias}, {b} AS band, ({bits}) AS bkey FROM ({src_sql})")
+    return " UNION ALL ".join(selects)
+
+
 def minhash_select_terms(hv: str = "hv", k: int = 8) -> list[str]:
     return [
         f"min((({a}*({hv}%{MERSENNE_P})+{b}))%{MERSENNE_P}) AS mh{i}"

@@ -47,6 +47,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t but repartitioned to the session parallelism: the fixture
+    tables arrive as ONE small parquet file (one input split → one task
+    serializes every downstream HOF/explode stage). A real 100 TB input
+    arrives in thousands of splits; the tiny round-robin shuffle here
+    restores that shape for the compute-heavy document/embedding ops."""
+    return _t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(fixture_path(sf_from_dir(sf_dir)))
 
@@ -450,7 +459,12 @@ def doc_minhash_sigs(spark, sf_dir):
 
 
 def doc_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=8, bands=4)
+    """MinHash banding (k=64, 8 bands × r=8) over 2-gram shingles,
+    star-edge candidates, exact-Jaccard verify at 0.8 — the production
+    near-dup path (selective banding: S-curve midpoint ≈ 0.77)."""
+    return minhash_lsh_pairs(
+        _t_par(spark, sf_dir, "documents"), k=64, bands=8, ngram=2, threshold=0.8
+    )
 
 
 def doc_simhash(spark, sf_dir):
@@ -458,8 +472,10 @@ def doc_simhash(spark, sf_dir):
 
 
 def doc_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
-    return ngram_jaccard_pairs(d, threshold=0.06, n=2)
+    """Exact bigram-Jaccard join over the full table, hot shingles
+    df-capped (bounded inverted-index join)."""
+    d = _t_par(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.6, n=2, df_cap=100)
 
 
 # ===========================================================================
@@ -474,15 +490,28 @@ def ann_topk_bruteforce(spark, sf_dir):
 
 
 def ann_topk_lsh(spark, sf_dir):
+    """Approximate top-k via banded hyperplane LSH (band-OR candidates,
+    exact cosine re-rank); recall vs ann_topk_bruteforce asserted in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk_lsh(emb, q, k=10)
+    return cosine_topk_lsh(emb, q, k=10, n_planes=12, bands=6, dim=64)
 
 
 def emb_near_dups(spark, sf_dir):
     from .operators.dedup import embedding_near_dups
 
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def emb_near_dups_lsh(spark, sf_dir):
+    """Production-path embedding near-dups: banded hyperplane LSH
+    buckets (24 planes, 8 bands × 3 bits), exact-cosine verify."""
+    from .operators.dedup import embedding_near_dups_lsh
+
+    return embedding_near_dups_lsh(
+        _t_par(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=24, bands=8, dim=64
+    )
 
 
 # ===========================================================================
@@ -503,15 +532,11 @@ def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
     tok = X.sql_tokens("text")
     h = X.sql_md5_long("tok")
 
-    band_keys = []
-    r = 2
-    for b in range(4):
-        band_keys.append(
-            (b, " || '_' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)))
-        )
-    band_union = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig" for b, key in band_keys
-    )
+    # doc_minhash_lsh: 2-gram shingles, k=128 signatures, 16 bands × r=8
+    LSH_K, LSH_BANDS, LSH_THR = 64, 8, 0.8
+    sh2 = X.sql_shingles("text", 2)
+    mh_lsh = X.minhash_select_terms("hv", LSH_K)
+    lsh_band_union = X.minhash_band_union_sql(LSH_K, LSH_BANDS)
 
     simhash_votes = ", ".join(
         f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32)
@@ -668,9 +693,9 @@ WITH g AS (
 SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id""",
         # --- documents ---------------------------------------------------
-        "doc_exact_dedup": f"""
+        "doc_exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
-FROM documents GROUP BY {X.sql_md5_long('text')}""",
+FROM documents GROUP BY md5(text)""",
         "doc_token_counts": """
 SELECT doc_id,
   CASE WHEN len(trim(text)) = 0 THEN 0
@@ -715,34 +740,36 @@ WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
 h AS (SELECT doc_id, {h} AS hv FROM toks)
 SELECT doc_id, {', '.join(mh)} FROM h GROUP BY doc_id""",
         "doc_minhash_lsh": f"""
-WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
-h AS (SELECT doc_id, {h} AS hv FROM toks),
-sig AS (SELECT doc_id, {', '.join(mh)} FROM h GROUP BY doc_id),
-bands AS ({band_union})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+WITH d AS (SELECT doc_id, {sh2} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS tok FROM d),
+h AS (SELECT doc_id, {h} AS hv FROM e),
+sig AS (SELECT doc_id, {', '.join(mh_lsh)} FROM h GROUP BY doc_id),
+bands AS ({lsh_band_union}),
+reps AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS rep FROM bands),
+cand AS (SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM reps WHERE doc_id <> rep),
+v AS (SELECT c.doc_a, c.doc_b,
+        len(list_intersect(da.sh, db.sh)) / len(list_distinct(list_concat(da.sh, db.sh))) AS j
+      FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM v WHERE j >= {LSH_THR}""",
         "doc_simhash": f"""
 WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
 h AS (SELECT doc_id, {h} AS hv FROM toks),
 v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id)
 SELECT doc_id, {simhash_sum} AS simhash FROM v""",
-        "doc_ngram_jaccard": """
-WITH d AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-  FROM documents WHERE doc_id % 20 = 0),
-g AS (
-  SELECT doc_id,
-    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
-  FROM d),
-sh AS (SELECT doc_id, unnest(grams) AS g, len(grams) AS n_g FROM g),
+        "doc_ngram_jaccard": f"""
+WITH g AS (SELECT doc_id, {sh2} AS grams FROM documents),
+e AS (SELECT doc_id, unnest(grams) AS g FROM g),
+f AS (SELECT *, count(*) OVER (PARTITION BY g) AS dfc FROM e),
+kept AS (SELECT doc_id, g FROM f WHERE dfc <= 100),
+sz AS (SELECT doc_id, count(*) AS n_g FROM kept GROUP BY doc_id),
 p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_g AS na, b.n_g AS nb,
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sa.n_g AS na, sb.n_g AS nb,
          count(*) AS inter
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  JOIN sz sa ON sa.doc_id = a.doc_id JOIN sz sb ON sb.doc_id = b.doc_id
   GROUP BY 1, 2, 3, 4)
 SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
-FROM p WHERE inter / (na + nb - inter) >= 0.06""",
+FROM p WHERE inter / (na + nb - inter) >= 0.6""",
         # --- embeddings ----------------------------------------------------
         "ann_topk_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -759,6 +786,39 @@ b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb FROM embeddings)
 SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 5) AS cos
 FROM a JOIN b ON id_a < id_b
 WHERE list_cosine_similarity(va, vb) >= 0.45""",
+        "ann_topk_lsh": f"""
+WITH cb AS ({X.hyperplane_band_union_sql(
+            'embedding', 'vec_id AS neighbor_id',
+            'SELECT vec_id, embedding FROM embeddings', 12, 6, 64)}),
+qb AS ({X.hyperplane_band_union_sql(
+            'embedding', 'vec_id AS query_id',
+            'SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5', 12, 6, 64)}),
+cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+         FROM cb c JOIN qb q ON c.band = q.band AND c.bkey = q.bkey
+         WHERE c.neighbor_id <> q.query_id),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT cand.query_id, cand.neighbor_id,
+        list_cosine_similarity(qv.v, nv.v) AS cos
+      FROM cand JOIN cv qv ON qv.vec_id = cand.query_id
+                JOIN cv nv ON nv.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10""",
+        "emb_near_dups_lsh": f"""
+WITH bk AS ({X.hyperplane_band_union_sql(
+            'embedding', 'vec_id',
+            'SELECT vec_id, embedding FROM embeddings', 24, 8, 64)}),
+capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM bk)
+           WHERE bn <= 1000),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.vec_id < b.vec_id),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT cand.id_a, cand.id_b, list_cosine_similarity(av.v, bv.v) AS cos
+      FROM cand JOIN cv av ON av.vec_id = cand.id_a
+                JOIN cv bv ON bv.vec_id = cand.id_b)
+SELECT id_a, id_b, round(cos, 5) AS cos FROM s WHERE cos >= 0.45""",
     }
 
 
@@ -798,6 +858,7 @@ QUERIES = {
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "ann_topk_bruteforce": ann_topk_bruteforce,
-    "ann_topk_lsh": ann_topk_lsh,  # rows-only (approximate by design)
+    "ann_topk_lsh": ann_topk_lsh,
     "emb_near_dups": emb_near_dups,
+    "emb_near_dups_lsh": emb_near_dups_lsh,
 }

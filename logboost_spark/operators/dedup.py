@@ -6,21 +6,33 @@ Jaccard, and embedding-cosine near-dup over a ``documents``-shaped table
 (doc_id, text) / ``embeddings`` (vec_id, embedding array<float>).
 
 Scale notes (100 TB):
-* exact_dedup — one shuffle on a 60-bit text hash; with AQE the skew of
-  popular boilerplate dedups fine because the groupBy key *is* the hash.
-* minhash_lsh_pairs — the scale path: per-doc signatures are computed
-  map-side (explode tokens → groupBy doc), candidate generation shuffles
-  on band keys only (b small buckets per doc, not O(n²)); the final
-  verify joins only candidates.
-* ngram_jaccard_pairs — exact but quadratic in bucket size; keep for
-  verification at sampled scale, use LSH for the full corpus.
+* exact_dedup — one shuffle keyed on the full 128-bit md5 hex digest
+  (a truncated hash silently merges distinct docs at billion-doc scale:
+  a 60-bit key collides w.h.p. past ~2^30 documents).
+* minhash_lsh_pairs — the scale path: shingle→minhash signatures are
+  computed map-side (explode → groupBy doc), candidate generation
+  shuffles on band keys only, each bucket emits LINEAR star edges
+  (min-doc representative → member) instead of quadratic all-pairs, and
+  a verify stage computes exact shingle Jaccard on candidates only.
+  With k=128 / 16 bands × r=8 the banding S-curve sits near
+  (1/16)^(1/8) ≈ 0.71, so sub-near-dup pairs are exponentially
+  suppressed instead of flooding the shuffle.
+* ngram_jaccard_pairs — exact inverted-index join; ``df_cap`` bounds the
+  quadratic blowup of hot shingles by excluding shingles that appear in
+  more than df_cap documents from the similarity universe (both the
+  index AND the per-doc counts, so the measure stays a true Jaccard over
+  the filtered universe).
+* embedding_near_dups — brute-force verifier (sampled scales);
+  embedding_near_dups_lsh is the production path: banded
+  random-hyperplane signatures bucket the corpus, candidates share any
+  band, exact cosine verifies.
 * All hashing goes through md5 (functions/hashing.py) so the DuckDB
   oracle reproduces results bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, md5_long, minhash_params
@@ -31,28 +43,80 @@ def tokens(col, distinct: bool = True):
     return F.array_distinct(t) if distinct else t
 
 
+def shingles_of_tokens(toks, n: int, distinct: bool = True):
+    """Word n-gram shingles from a token-array column (array<string>).
+
+    ``toks`` MUST be a staged attribute (a real column), not an inline
+    expression: the lambda references it n+1 times per gram, and Catalyst
+    inlines expression subtrees into every reference — an inline
+    regex-split made this ~100× slower per doc (measured).
+
+    Guarded for docs shorter than n tokens: F.sequence(0, size-n) would
+    produce a DESCENDING sequence (Spark defaults step=-1 when
+    start > stop) and emit a spurious short shingle — short docs yield
+    an empty array instead.
+    """
+    if n <= 1:
+        return F.array_distinct(toks) if distinct else toks
+    # zip_with over shifted slices, NOT transform(sequence, get-chain):
+    # the get-chain evaluates interpreted per index and measured ~9×
+    # slower per row; zipping n-1 shifted slices does one concat per gram
+    m = F.size(toks) - n + 1
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    guarded = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(guarded) if distinct else guarded
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int, out: str = "_sh", distinct: bool = True
+) -> DataFrame:
+    """Append a shingle-array column via a staged token attribute."""
+    df = df.withColumn("_toks", tokens(F.col(text_col), distinct=False))
+    return df.withColumn(out, shingles_of_tokens(F.col("_toks"), n, distinct)).drop("_toks")
+
+
+def shingles(col, n: int, distinct: bool = True):
+    """Shingles directly from a text column — ONLY for tiny inputs/tests;
+    hot paths must stage tokens first (see shingles_of_tokens)."""
+    return shingles_of_tokens(tokens(col, distinct=False), n, distinct)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest id per identical text (hash-groupBy, one shuffle)."""
-    h = md5_long(F.col(text_col))
+    """Keep the lowest id per identical text (hash-groupBy, one shuffle).
+
+    Groups on the full 128-bit md5 hex digest — collision-safe at any
+    corpus size that fits a cluster (truncated hashes are not).
+    """
     return (
-        docs.withColumn("_h", h)
+        docs.withColumn("_h", F.md5(F.col(text_col)))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("_h")
     )
 
 
-def _token_hashes(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+def _element_hashes(docs: DataFrame, text_col: str, id_col: str, ngram: int = 1) -> DataFrame:
+    staged = with_shingles(docs, text_col, ngram, out="_sh")
+    return staged.select(
+        F.col(id_col), F.explode(F.col("_sh")).alias("_tok")
     ).withColumn("_hv", md5_long(F.col("_tok")))
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
-    """k-permutation MinHash over the distinct-token set of each doc."""
-    th = _token_hashes(docs, text_col, id_col)
+    """k-permutation MinHash over the distinct token/shingle set of each doc."""
+    th = _element_hashes(docs, text_col, id_col, ngram)
     aggs = [
         F.min(F.pmod(F.lit(a) * F.pmod(F.col("_hv"), F.lit(MERSENNE_P)) + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_params(k))
@@ -60,45 +124,84 @@ def minhash_signatures(
     return th.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    sig: DataFrame, k: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Signature matrix → (id, band, bkey) rows, one explode pass
+    (no per-band unions; the fact side is touched once)."""
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("_bb")).select(
+        id_col, F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
-    k: int = 8,
-    bands: int = 4,
+    k: int = 64,
+    bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 2,
+    threshold: float | None = 0.8,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band (rows of the
-    signature matrix grouped b bands × r rows; banding → bucket join)."""
-    r = k // bands
-    sig = minhash_signatures(docs, k, text_col, id_col)
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws("_", *[F.col(f"mh{b * r + j}") for j in range(r)])
-        band_rows.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey"))
-        )
-    from functools import reduce
+    """Near-dup pairs via MinHash banding, star-edge candidates, and an
+    exact-Jaccard verify stage.
 
-    exploded = reduce(DataFrame.unionByName, band_rows)
-    a = exploded.alias("a")
-    bside = exploded.alias("b")
-    return (
-        a.join(
-            bside,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+    Candidate generation emits one edge per (bucket member, bucket
+    representative=min id) — LINEAR in bucket size, so a degenerate hot
+    bucket costs O(|bucket|) instead of O(|bucket|²); connected
+    components (the dedup consumer) are preserved. ``threshold=None``
+    skips the verify stage and returns raw candidate edges.
+
+    k=64 (not 128): past ~100 aggregate columns Spark disables
+    whole-stage codegen (spark.sql.codegen.maxFields) and the signature
+    aggregate falls back to interpreted eval — measured 2-4× slower for
+    no recall gain (8 bands × r=8 already puts the S-curve midpoint at
+    (1/8)^(1/8) ≈ 0.77 with catch-prob ≈ 0.99 at j=0.9).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b guaranteed by the
+    min-representative construction.
+    """
+    sig = minhash_signatures(docs, k, text_col, id_col, ngram)
+    exploded = minhash_band_buckets(sig, k, bands, id_col)
+    w = Window.partitionBy("band", "bkey")
+    cand = (
+        exploded.withColumn("_rep", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
         .distinct()
+    )
+    if threshold is None:
+        return cand
+    # shuffle-hash hint: the docs side is never broadcastable at scale,
+    # and auto-broadcast here would serialize the whole shingle
+    # recomputation into ONE broadcast-build task (measured 2×+ of the
+    # query); the shuffle join keeps it parallel and scale-shaped.
+    sh = with_shingles(docs, text_col, ngram, out="_sh").select(id_col, "_sh").hint("shuffle_hash")
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
+    jac = F.size(F.array_intersect("_sha", "_shb")) / F.size(F.array_union("_sha", "_shb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
     )
 
 
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint: per-bit majority vote of token hashes."""
-    th = _token_hashes(docs, text_col, id_col)
+    th = _element_hashes(docs, text_col, id_col)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -119,24 +222,28 @@ def ngram_jaccard_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard similarity join via inverted index.
 
     |A∩B| from the shingle-share counts, |A∪B| = |A|+|B|-|A∩B|. The
-    shingle join is the shuffle; frequent shingles are the skew risk —
-    production path caps document frequency (drop shingles appearing in
-    > df_cap docs: they only ever confirm already-candidate pairs).
+    shingle join is the shuffle; frequent shingles are the skew risk.
+    ``df_cap`` excludes shingles appearing in more than df_cap documents
+    from the similarity universe — both the inverted index AND the
+    per-doc sizes, so the result is the true Jaccard over the filtered
+    universe and the join stays O(df_cap²) per hot shingle instead of
+    quadratic in the corpus.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-        )
+    sh = with_shingles(docs, text_col, n, out="_grams").select(
+        F.col(id_col), F.explode(F.col("_grams")).alias("g")
     )
-    sh = docs.select(
-        F.col(id_col), F.explode(grams).alias("g"), F.size(grams).alias("n_g")
-    )
+    if df_cap is not None:
+        wg = Window.partitionBy("g")
+        sh = sh.withColumn("_df", F.count(F.lit(1)).over(wg)).filter(
+            F.col("_df") <= df_cap
+        ).drop("_df")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g"))
+    sh = sh.join(sizes, id_col)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -159,8 +266,11 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force; LSH variant in
-    operators/similarity.py scales it)."""
+    """Embedding-cosine near-duplicate pairs — brute-force all-pairs.
+
+    O(n²): a VERIFIER for sampled scales; the production path is
+    :func:`embedding_near_dups_lsh`.
+    """
     from .similarity import cosine
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -168,6 +278,55 @@ def embedding_near_dups(
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 24,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Scale path for embedding near-dups: banded random-hyperplane LSH.
+
+    Vectors sharing any band key become candidate pairs; exact cosine
+    verifies. ``bucket_cap`` drops degenerate hot buckets (a dense
+    region's members still pair up through their other, more selective
+    bands), bounding the per-bucket self-join at O(cap²). Probabilistic
+    recall: P(pair found) = 1-(1-p^r)^L with p = 1-θ/π — tune
+    (n_planes, bands) to the similarity regime; recall on the fixture is
+    asserted in tests/test_similarity.py.
+    """
+    from .similarity import banded_signature_buckets, cosine, infer_dim
+
+    dim = dim or infer_dim(emb, vec_col)
+    buckets = banded_signature_buckets(
+        emb.select(F.col(id_col), F.col(vec_col)), vec_col, id_col, n_planes, bands, dim
+    )
+    w = Window.partitionBy("band", "bkey")
+    buckets = buckets.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bn") <= bucket_cap
+    )
+    ba = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    bb = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
     )

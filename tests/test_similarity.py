@@ -1,10 +1,18 @@
-"""ANN: brute-force exactness vs a numpy oracle; LSH recall sanity."""
+"""ANN: brute-force exactness vs a numpy oracle; banded-LSH recall."""
+
+import os
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from logboost_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from logboost_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    infer_dim,
+)
+
+SF001 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
@@ -36,18 +44,51 @@ def test_bruteforce_matches_numpy(spark, emb):
     assert by_q == want
 
 
-def test_lsh_subset_and_recall(spark, emb):
+def test_infer_dim(spark, emb):
+    _, df = emb
+    assert infer_dim(df) == 16
+
+
+def test_lsh_returns_true_cosines(spark, emb):
     vecs, df = emb
     q = df.filter(F.col("vec_id") < 3)
-    exact = cosine_topk_bruteforce(df, q, k=5).collect()
-    approx = cosine_topk_lsh(df, q, k=5, n_planes=4, dim=16).collect()
-    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
-    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
-    # approximate: every returned pair must be a true vector pair with a
-    # correct cosine; recall is partial by design
-    assert len(approx_set) > 0
+    approx = cosine_topk_lsh(df, q, k=5, n_planes=8, bands=4, dim=16).collect()
+    assert len(approx) > 0
     for r in approx:
-        c = float(vecs[r.query_id] @ vecs[r.neighbor_id] / (np.linalg.norm(vecs[r.query_id]) * np.linalg.norm(vecs[r.neighbor_id])))
+        c = float(
+            vecs[r.query_id]
+            @ vecs[r.neighbor_id]
+            / (np.linalg.norm(vecs[r.query_id]) * np.linalg.norm(vecs[r.neighbor_id]))
+        )
         assert abs(c - r.cos) < 1e-4
-    # nearest neighbors cluster in the same bucket reasonably often
-    assert len(exact_set & approx_set) >= 1
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_lsh_recall_on_fixture(spark):
+    """Recall@10 of the gate query's banded LSH vs exact brute force —
+    the measured number backing the ann_topk_lsh entry (VERDICT r1 #7)."""
+    embp = spark.read.parquet(os.path.join(SF001, "embeddings.parquet"))
+    q = embp.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(embp, q, k=10).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(embp, q, k=10, n_planes=12, bands=6, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@10 {recall} < 0.9"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_near_dup_lsh_recall_on_fixture(spark):
+    """The LSH near-dup path must find ≥85% of the true cos≥0.45 pairs
+    (banding math: p=1-θ/π ∈ [.65,.70] → 1-(1-p³)^8 ≈ .92-.97)."""
+    from logboost_spark.operators.dedup import embedding_near_dups, embedding_near_dups_lsh
+
+    embp = spark.read.parquet(os.path.join(SF001, "embeddings.parquet"))
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dups(embp, threshold=0.45).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups_lsh(embp, threshold=0.45, n_planes=24, bands=8, dim=64).collect()
+    }
+    assert approx <= exact  # verify stage: no false positives
+    assert len(approx) / len(exact) >= 0.85

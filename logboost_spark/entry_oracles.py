@@ -52,10 +52,14 @@ def sql_priv4(x: str) -> str:
 
 
 def sql_priv6(x: str) -> str:
+    # v4-mapped forms classify by the embedded quad (functions/ip.py
+    # is_private_ipv6_str — both engines must agree on the -ipcol path)
+    quad = f"regexp_extract(lower({x}), '^::(?:ffff(?::0{{1,4}})?:)?((?:\\d{{1,3}}\\.){{3}}\\d{{1,3}})$', 1)"
     return (
         f"(lower({x}) IN ('::1','::') OR regexp_matches(lower({x}),'^fe[89ab]')"
         f" OR regexp_matches(lower({x}),'^f[cd]') OR lower({x}) LIKE 'ff%'"
-        f" OR lower({x}) LIKE '64:ff9b:1:%')"
+        f" OR lower({x}) LIKE '64:ff9b:1:%'"
+        f" OR (len({quad}) > 0 AND {sql_priv4(quad)}))"
     )
 
 

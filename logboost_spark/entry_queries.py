@@ -233,6 +233,27 @@ def t_parse_json_flat(spark, sf_dir):
     )
 
 
+def t_extra_keys(spark, sf_dir):
+    """P5 shallow-mode overflow: kv rows projected to the first record's
+    known keys + the 'k:v, ' EXTRA_KEYS catch-all (parse_kv.go:60-65,
+    vars/vars.go:12)."""
+    from .parsers.extra_keys import shallow_project
+
+    df = parse_stage(_transcripts(spark, sf_dir)).filter(F.col("format") == "kv")
+    out = shallow_project(df, ["timestamp", "source"])
+    return out.select("conv_id", "turn_idx", "timestamp", "source", "EXTRA_KEYS")
+
+
+def t_full_parse_keys(spark, sf_dir):
+    """P5/-fullparse key union (helpers/helpers.go:55-57): the distinct
+    key set across every parsed non-JSON record — the distributed twin of
+    the reference's first full-file scan."""
+    df = parse_stage(_transcripts(spark, sf_dir)).filter(
+        ~F.col("format").isin("json", "json_multi")
+    )
+    return df.select(F.explode(F.map_keys("fields")).alias("key")).distinct()
+
+
 def t_date_filter(spark, sf_dir):
     """F1: inclusive ts between; per-role counts."""
     df = _transcripts(spark, sf_dir)
@@ -612,6 +633,29 @@ SELECT conv_id, turn_idx, format,
   COALESCE(json_extract_string(text, pfx || 'requestID'), '') AS j_reqid,
   COALESCE(json_extract_string(text, pfx || 'ClientIP'), '') AS j_clientip
 FROM j""",
+        "t_extra_keys": f"""
+WITH p AS (SELECT conv_id, turn_idx, text,
+    {X.detect_format_sql('trim(text)')} AS format
+  FROM read_parquet('{tpath}')),
+k AS (SELECT conv_id, turn_idx,
+    list_transform(string_split_regex(text, ',\\s*'),
+      q -> struct_pack(k := regexp_extract(q, '^([^=]+)=', 1),
+                       v := regexp_replace(regexp_extract(q, '^[^=]+=(.*)$', 1), '^"|"$', '', 'g'))) AS kvs
+  FROM p WHERE format = 'kv')
+SELECT conv_id, turn_idx,
+  list_filter(kvs, x -> x.k = 'timestamp')[1].v AS timestamp,
+  list_filter(kvs, x -> x.k = 'source')[1].v AS source,
+  array_to_string(list_transform(list_filter(kvs, x -> x.k NOT IN ('timestamp', 'source')),
+                                 x -> x.k || ':' || x.v || ', '), '') AS EXTRA_KEYS
+FROM k""",
+        "t_full_parse_keys": f"""
+WITH p AS (SELECT conv_id, turn_idx, text,
+    {X.detect_format_sql('trim(text)')} AS format
+  FROM read_parquet('{tpath}')),
+ent AS (SELECT {X.parse_entries_sql('text')} AS entries
+  FROM p WHERE format NOT IN ('json', 'json_multi'))
+SELECT DISTINCT regexp_extract(e, '^([^=]+)=', 1) AS key
+FROM (SELECT unnest(string_split(entries, ';')) AS e FROM ent)""",
         "ti_build_ingest": f"""
 WITH lines AS (SELECT trim(text) AS t FROM read_parquet('{tpath}')),
 ex AS (SELECT t, regexp_extract(t, '({IPV4_FOR_SQL})', 1) AS ip FROM lines
@@ -834,6 +878,8 @@ QUERIES = {
     "t_parse_fields": t_parse_fields,
     "t_parse_maps": t_parse_maps,
     "t_parse_json_flat": t_parse_json_flat,
+    "t_extra_keys": t_extra_keys,
+    "t_full_parse_keys": t_full_parse_keys,
     "t_date_filter": t_date_filter,
     "t_turn_order": t_turn_order,
     "q1_pricing_summary": q1_pricing_summary,

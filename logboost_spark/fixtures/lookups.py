@@ -207,28 +207,14 @@ def shodan_idb_rows() -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
-# Public-suffix parse (tldparserr stand-in, tldparserr/tld_parser.go:5-46)
+# Public-suffix parse: the real PSL matcher lives in functions/psl.py
+# (wildcards, exceptions, multi-label suffixes); re-exported here because
+# the fixture generators and the TLD UDF were built around this name.
+# Every PSL_SUFFIXES entry above is a genuine public-suffix rule, so
+# fixture domains parse identically under the full list.
 # ---------------------------------------------------------------------------
 
-_PSL_SET = frozenset(PSL_SUFFIXES)
-
-
-def parse_psl_domain(fqdn: str) -> str:
-    """Longest-public-suffix match → 'main.tld' (e.g. host.aws.com → aws.com).
-
-    Returns 'none' when no label remains before the suffix or no suffix
-    matches — mirroring lb_TLD population (helpers/helpers.go:437-444,
-    499-505).
-    """
-    if not fqdn or fqdn == ".":
-        return "none"
-    labels = fqdn.lower().rstrip(".").split(".")
-    for k in (2, 1):  # longest suffix first
-        if len(labels) > k:
-            suffix = ".".join(labels[-k:])
-            if suffix in _PSL_SET:
-                return f"{labels[-k - 1]}.{suffix}"
-    return "none"
+from ..functions.psl import parse_psl_domain  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -151,8 +151,14 @@ def is_private_ipv6_str(ip: Column) -> Column:
 
     Covers ::1/128, ::, fe80::/10 (fe80-febf), fc00::/7 (fc/fd),
     ff00::/8 multicast, 64:ff9b:1::/48 — helpers/network.go:38-43,124-142.
-    """
+    IPv4-mapped forms (::ffff:a.b.c.d and bare ::a.b.c.d) classify by the
+    embedded dotted quad: Go's net.ParseIP resolves them to the 4-byte
+    form, so RFC1918 inside a mapped address is private (reachable via
+    the -ipcol direct-value path)."""
     s = F.lower(ip)
+    mapped_quad = F.regexp_extract(
+        s, r"^::(?:ffff(?::0{1,4})?:)?((?:\d{1,3}\.){3}\d{1,3})$", 1
+    )
     return (
         (s == "::1")
         | (s == "::")
@@ -160,6 +166,7 @@ def is_private_ipv6_str(ip: Column) -> Column:
         | s.rlike(r"^f[cd]")
         | s.startswith("ff")
         | s.startswith("64:ff9b:1:")
+        | ((F.length(mapped_quad) > 0) & is_private_ipv4_str_compact(mapped_quad))
     )
 
 

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..fixtures.lookups import parse_psl_domain
+from .psl import parse_psl_domain
 
 
 def _parse_one(fqdn) -> str:

@@ -182,13 +182,18 @@ def enrich(
     # --- DNS + TLD (J5+J6) ------------------------------------------------
     dns_out = []
     if use_dns:
-        dp = lookups["dns_ptr"].withColumnRenamed("ip", "_dns_ip")
-        df = df.join(F.broadcast(dp), df["_join_ip"] == dp["_dns_ip"], "left").drop("_dns_ip")
-        first_dom = F.get(F.col("domains"), 0)
-        # TLD parse only on rows that have a PTR record (small slice)
-        df = df.withColumn(
-            "_tld", F.when(first_dom.isNotNull() & pub, tld_of(first_dom))
+        # TLD parse on the LOOKUP side (dimension-sized): the fact table
+        # never touches Python at all — the pandas UDF runs once per PTR
+        # record before the broadcast, not once per fact row. (The UDF in
+        # a fact-side `when` branch would be hoisted by Spark and run on
+        # EVERY row.)
+        dp = lookups["dns_ptr"].select(
+            F.col("ip").alias("_dns_ip"),
+            "domains",
+            tld_of(F.get(F.col("domains"), 0)).alias("_tld_lk"),
         )
+        df = df.join(F.broadcast(dp), df["_join_ip"] == dp["_dns_ip"], "left").drop("_dns_ip")
+        df = df.withColumn("_tld", F.when(pub, F.col("_tld_lk")))
         dns_out = [
             _sentinel(
                 F.coalesce(F.array_join(F.col("domains"), "|"), F.lit("none"))

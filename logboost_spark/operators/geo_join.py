@@ -41,35 +41,46 @@ def bucketize_intervals(lookup: DataFrame, bucket_bits: int = DEFAULT_BUCKET_BIT
     )
 
 
-def flatten_intervals(rows: list[tuple], n_attrs: int) -> list[tuple]:
+def flatten_intervals(rows: list[tuple], n_attrs: int | None = None) -> list[tuple]:
     """Longest-prefix-wins flattening of possibly-overlapping intervals.
 
-    ``rows``: (net_start, net_end, *attrs). Narrower (more specific)
-    intervals punch holes into wider ones, mirroring mmdb trie semantics.
-    Driver-side only — lookup tables are dimension-sized.
+    ``rows``: (net_start, net_end, *attrs). The NARROWEST (most specific)
+    interval covering a point wins — mmdb trie semantics; ties break to
+    input order. Output intervals are disjoint, sorted, and cover exactly
+    the union of the inputs.
+
+    Sort-and-sweep, O(n log n): boundary events + a lazy-deletion min-heap
+    keyed on (width, input order). Driver-side only — lookup tables are
+    dimension-sized (a real GeoLite2 table is ~500k intervals: the old
+    O(n²) hole-punching took hours there; this takes under a second).
     """
-    # sort widest-first so narrower intervals overwrite later
-    order = sorted(rows, key=lambda r: -(r[1] - r[0]))
+    import heapq
+
+    if not rows:
+        return []
+    idx_rows = list(enumerate(rows))
+    # boundary points where the active set can change
+    bounds = sorted({r[0] for r in rows} | {r[1] + 1 for r in rows})
+    by_start = sorted(idx_rows, key=lambda ir: ir[1][0])
+    heap: list[tuple[int, int, int]] = []  # (width, input order, idx)
     out: list[list] = []
-    for start, end, *attrs in order:
-        pieces = [(start, end)]
-        kept: list[list] = []
-        for o in out:
-            new_pieces = []
-            for s, e in pieces:
-                if o[1] < s or o[0] > e:  # disjoint
-                    new_pieces.append((s, e))
-                    continue
-                if s < o[0]:
-                    new_pieces.append((s, o[0] - 1))
-                if e > o[1]:
-                    new_pieces.append((o[1] + 1, e))
-            pieces = new_pieces
-        # existing (narrower came later? no — narrower processed later) —
-        # current interval is never wider than already-placed ones' holes
-        for s, e in pieces:
-            out.append([s, e, *attrs])
-    out.sort(key=lambda r: r[0])
+    si = 0
+    for bi, x in enumerate(bounds[:-1]):
+        while si < len(by_start) and by_start[si][1][0] <= x:
+            i, r = by_start[si]
+            heapq.heappush(heap, (r[1] - r[0], i, i))
+            si += 1
+        while heap and rows[heap[0][2]][1] < x:  # lazy-delete expired
+            heapq.heappop(heap)
+        if not heap:
+            continue
+        win = heap[0][2]
+        seg_end = bounds[bi + 1] - 1
+        attrs = list(rows[win][2:])
+        if out and out[-1][1] == x - 1 and list(out[-1][2:]) == attrs:
+            out[-1][1] = seg_end  # merge adjacent same-attr segments
+        else:
+            out.append([x, seg_end, *attrs])
     return [tuple(r) for r in out]
 
 

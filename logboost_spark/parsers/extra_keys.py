@@ -24,6 +24,32 @@ def first_record_keys(df: DataFrame, fields_col: str = "fields") -> list[str]:
     return list(row.k) if row else []
 
 
+def deep_keys(df: DataFrame, fields_col: str = "fields") -> list[str]:
+    """Full-parse key union (-fullparse two-pass, helpers/helpers.go:55-57,
+    parsers/parse_json.go:62, parse_kv.go:33-69, parse_cef.go:97-114):
+    the reference scans the whole file once to union every record's keys
+    before parsing. Columnar equivalent: ONE distributed aggregation over
+    the key sets — map-side collect_set keeps the shuffle tiny (distinct
+    key arrays, not rows). Returned sorted: the reference's first-seen
+    order is a single-scanner artifact with no distributed analog; a
+    total order keeps the projected schema deterministic."""
+    row = df.select(
+        F.array_distinct(
+            F.flatten(F.collect_set(F.map_keys(F.col(fields_col))))
+        ).alias("k")
+    ).first()
+    return sorted(row.k) if row and row.k else []
+
+
+def full_project(df: DataFrame, fields_col: str = "fields") -> DataFrame:
+    """-fullparse projection: one column per key seen ANYWHERE in the
+    input (two passes: key-union aggregation, then projection — exactly
+    the reference's two file scans, helpers/helpers.go:55-57). No
+    EXTRA_KEYS overflow can remain, but the column is kept for schema
+    parity with shallow mode."""
+    return shallow_project(df, deep_keys(df, fields_col), fields_col)
+
+
 def shallow_project(
     df: DataFrame, known_keys: list[str], fields_col: str = "fields"
 ) -> DataFrame:

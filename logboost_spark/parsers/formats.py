@@ -118,9 +118,53 @@ _CEF_HEADERS = [
     "CEF_EVENT_ID", "CEF_EVENT_NAME", "CEF_EVENT_SEVERITY",
 ]
 
+# CEF syslog-prefix variants (parse_cef.go:22-24, identifySyslogHeader
+# :366-387): 0 = bare CEF, 1 = RFC3164 prefix, 2 = RFC5424 prefix,
+# 3 = generic-syslog prefix — detected in that order.
+CEF_3164_RE = r"(<\d{1,5}>)([A-Za-z]{3}\s\d{2}\s\d{2}:\d{2}:\d{2})\s(?:<.+>\s)?(.*?)\s(CEF.*)"
+CEF_5424_RE = r"(<\d{1,5}>)(\d)\s(\d{4}-\d{1,2}-\d{1,2}T\d{2}:\d{2}:\d{2}\.\d{3}Z)\s(?:<.+>\s)?(.*?)\s(CEF.*)"
+CEF_GENERIC_RE = r"([a-zA-Z]{3}\s{1,3}\d{1,2}\s\d{1,2}:\d{2}:\d{2})\s(?:<.+>\s)?(.*?)\s(.*?)\[?(\d{0,6})\]?:\s(CEF.*)"
+
+def _empty_map():
+    # built lazily: a module-level Column would be constructed again when
+    # the executor's Python worker re-imports this module to unpickle the
+    # pandas UDF — where no SparkContext exists
+    return F.map_from_arrays(F.array(), F.array())
+
+
+def _cef_prefix(text: Column) -> Column:
+    """Syslog-prefix fields of a CEF line as columns (parse_cef.go:
+    340-358 appends the prefix match groups before the CEF headers)."""
+    t = F.trim(text)
+    return (
+        F.when(t.startswith("CEF"), _empty_map())
+        .when(
+            t.rlike("^" + CEF_3164_RE),
+            F.map_from_arrays(
+                F.array(F.lit("PRI"), F.lit("TIMESTAMP"), F.lit("HOST")),
+                F.array(*[F.regexp_extract(t, "^" + CEF_3164_RE + "$", i) for i in (1, 2, 3)]),
+            ),
+        )
+        .when(
+            t.rlike("^" + CEF_5424_RE),
+            F.map_from_arrays(
+                F.array(F.lit("PRI"), F.lit("VER"), F.lit("TIMESTAMP"), F.lit("HOST")),
+                F.array(*[F.regexp_extract(t, "^" + CEF_5424_RE + "$", i) for i in (1, 2, 3, 4)]),
+            ),
+        )
+        .when(
+            t.rlike("^" + CEF_GENERIC_RE),
+            F.map_from_arrays(
+                F.array(F.lit("TIMESTAMP"), F.lit("HOST"), F.lit("PROCESS"), F.lit("PROCID")),
+                F.array(*[F.regexp_extract(t, "^" + CEF_GENERIC_RE + "$", i) for i in (1, 2, 3, 4)]),
+            ),
+        )
+        .otherwise(_empty_map())
+    )
+
 
 def _cef(text: Column) -> Column:
-    """CEF headers + extension k=v pairs, syslog prefix stripped
+    """CEF syslog-prefix fields + headers + extension k=v pairs
     (parsers/parse_cef.go:270-364)."""
     body = F.regexp_extract(text, r"(CEF:.*)$", 1)
     parts = F.split(body, r"\|", 8)
@@ -134,7 +178,7 @@ def _cef(text: Column) -> Column:
     # lookahead split reproduces that)
     ext = F.coalesce(F.get(parts, 7), F.lit(""))
     ext_map = F.str_to_map(ext, F.lit(r"\s+(?=\S+=)"), F.lit("="))
-    return F.map_concat(headers, F.coalesce(ext_map, F.map_from_arrays(F.array(), F.array())))
+    return F.map_concat(_cef_prefix(text), headers, F.coalesce(ext_map, _empty_map()))
 
 
 def _kv(text: Column) -> Column:
@@ -221,16 +265,27 @@ def json_flatten(texts: pd.Series) -> pd.Series:
 
 
 def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append ``format`` + ``fields`` columns (the P1-P11 parse stage)."""
+    """Append ``format`` + ``fields`` columns (the P1-P11 parse stage).
+
+    Spark hoists pandas UDFs out of ``when`` branches (ArrowEvalPython
+    can't be conditional), so json_flatten executes for EVERY row — but
+    its INPUT is masked to null for non-JSON rows, so the Arrow round
+    trip ships a null bitmap instead of the full text and the Python
+    side is a no-op per non-JSON row. (A filter→flatten→union split was
+    measured 2× WORSE end-to-end: each branch re-scans the upstream plan,
+    and in the group-committed pipeline that doubles every group job's
+    input stage — the masked single pass keeps one scan.)
+    """
     t = F.col(text_col)
     df = df.withColumn("format", detect_format(t))
     fmt = F.col("format")
+    is_json = fmt.isin("json", "json_multi")
     empty = F.map_from_arrays(
         F.array(F.lit("line")), F.array(F.coalesce(t, F.lit("")))
     )
     fields = (
         F.when(fmt == "iis_w3c", _iis_w3c(t))
-        .when(fmt.isin("json", "json_multi"), json_flatten(t))
+        .when(is_json, json_flatten(F.when(is_json, t)))
         .when(fmt == "cef", _cef(t))
         .when(fmt == "clf_combined", _clf(t, combined=True))
         .when(fmt == "clf_common", _clf(t, combined=False))

@@ -34,14 +34,32 @@ def _manifest_path(out_dir: str, group: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"group-{group:04d}.json")
 
 
-def committed_groups(out_dir: str) -> set[int]:
+def committed_groups(out_dir: str, n_groups: int | None = None) -> set[int]:
+    """Groups with a committed manifest. When ``n_groups`` is given,
+    REFUSES manifests written under a different bucketing: group
+    membership is pmod(xxhash64(conv_id), n_groups), so resuming with a
+    changed group count would silently skip or double-write
+    conversations."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return set()
     out = set()
     for name in os.listdir(mdir):
         if name.startswith("group-") and name.endswith(".json"):
-            out.add(int(name[6:-5]))
+            g = int(name[6:-5])
+            if n_groups is not None:
+                with open(os.path.join(mdir, name)) as f:
+                    entry = json.load(f)
+                rec = entry.get("n_groups")
+                if rec is not None and rec != n_groups:
+                    raise ValueError(
+                        f"{out_dir}: manifest group-{g:04d} was committed with "
+                        f"n_groups={rec}, resume requested n_groups={n_groups} — "
+                        "refusing (bucketing mismatch would skip/double-write "
+                        "conversations); use the original group count or a "
+                        "fresh out_dir"
+                    )
+            out.add(g)
     return out
 
 
@@ -69,7 +87,7 @@ def write_routed(
     Returns the manifest entries written this run.
     """
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
-    done = committed_groups(out_dir) if resume else set()
+    done = committed_groups(out_dir, n_groups=n_groups) if resume else set()
     group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
     if reuse_plan and len(done) < n_groups:
         routed = routed.persist()
@@ -92,6 +110,8 @@ def write_routed(
         sub.write.partitionBy("sink").mode("overwrite").parquet(target)
         entry = {
             "group": g,
+            "n_groups": n_groups,
+            "salt_buckets": salt_buckets,
             "path": target,
             "wall_sec": round(time.time() - t0, 3),
             **{k: v for k, v in obs.get.items()},

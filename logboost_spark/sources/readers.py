@@ -34,6 +34,36 @@ def read_multiline_json(spark, path: str, records_field: str = "Records") -> Dat
     return df.select(F.explode(F.col(records_field)).alias("record")).select("record.*")
 
 
+def read_iis_w3c(spark, path: str) -> DataFrame:
+    """IIS/W3C file source: the ``#Fields:`` directive (searched in the
+    first 8 lines, parse_iis_w3c.go:15-54) names the columns; comma after
+    ``#Fields`` = IIS style, space = W3C. Directive/comment lines (#
+    prefix) are skipped; each data row splits into one column per field.
+
+    The header probe is a driver-side read of ≤8 lines (metadata, like
+    any schema inference); the data scan is fully distributed and rows
+    whose field count mismatches the header are dropped, mirroring the
+    reference's per-row guard (parse_iis_w3c.go:101-108).
+    """
+    lines = spark.read.text(path)
+    head = [r.value for r in lines.limit(8).collect()]
+    fields_line = next(
+        (l for l in head if l.lower().startswith("#fields:")), None
+    )
+    if fields_line is None:
+        raise ValueError(f"{path}: no #Fields directive in the first 8 lines")
+    field_data = fields_line.split("#Fields:", 1)[-1].strip()
+    iis_style = len(fields_line.split(" ")) == 2  # one space → comma-delimited
+    headers = field_data.split(",") if iis_style else field_data.split(" ")
+    delim = "," if iis_style else " "
+    data = lines.filter(~F.col("value").startswith("#"))
+    parts = F.split(F.col("value"), delim)
+    data = data.filter(F.size(parts) == len(headers))
+    return data.select(
+        *[F.get(parts, i).alias(h) for i, h in enumerate(headers)]
+    )
+
+
 def expand_json_column(df: DataFrame, json_col: str, keys: list[str]) -> DataFrame:
     """P1 embedded-JSON expansion: pull named keys out of a JSON blob
     column into top-level columns (parse_csv.go:55-67,155-174)."""

@@ -52,3 +52,24 @@ def test_first_public_precedence(spark):
     got = df.select("want", first_public_ip(F.col("text"))["ip"].alias("ip")).collect()
     for r in got:
         assert r.ip == r.want, (r.want, r.ip)
+
+
+def test_v4_mapped_ipv6_privacy(spark):
+    """::ffff:a.b.c.d classifies by the embedded quad (net.ParseIP
+    resolves mapped forms to 4 bytes — helpers/network.go:29-52)."""
+    from logboost_spark.functions.ip import is_private_ipv6_str
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("::ffff:10.0.0.1", True),
+        ("::ffff:192.168.1.5", True),
+        ("::ffff:8.8.8.8", False),
+        ("::10.0.0.1", True),
+        ("::ffff:0:172.16.0.9", True),
+        ("2001:db8::1", False),
+        ("fe80::1", True),
+    ]
+    df = spark.createDataFrame(rows, "ip string, want boolean")
+    got = df.select("ip", "want", is_private_ipv6_str(F.col("ip")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, r.ip

@@ -84,3 +84,28 @@ def test_manifest_metrics(spark, lookups, tmp_path):
         assert "wall_sec" in m
         with open(os.path.join(out, "_manifest", f"group-{m['group']:04d}.json")) as f:
             assert json.load(f)["rows"] == m["rows"]
+
+
+def test_resume_refuses_changed_group_count(spark, tmp_path):
+    """Manifests record n_groups; resuming under different bucketing
+    must refuse, not silently skip/double-write conversations."""
+    import pytest
+    from logboost_spark.fixtures.lookups import build_lookup_dfs
+    from logboost_spark.fixtures.transcripts import gen_spark
+    from logboost_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "sinks")
+    df = gen_spark(spark, 400)
+    lookups = build_lookup_dfs(spark)
+    run_pipeline(spark, df, lookups, out, n_groups=2, use_whois=False, use_idb=False)
+    with pytest.raises(ValueError, match="n_groups"):
+        run_pipeline(
+            spark, df, lookups, out, n_groups=4, resume=True,
+            use_whois=False, use_idb=False,
+        )
+    # same count resumes cleanly as a no-op
+    m = run_pipeline(
+        spark, df, lookups, out, n_groups=2, resume=True,
+        use_whois=False, use_idb=False,
+    )
+    assert m == []

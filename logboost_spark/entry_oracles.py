@@ -78,20 +78,33 @@ def sql_ip4_int(x: str) -> str:
     )
 
 
-def transcript_cls_cte(path: str | None = None) -> str:
-    """Shared CTE chain: transcripts → extracted ip → lb_class."""
+def transcript_cls_cte(path: str | None = None, json_probe: bool = False) -> str:
+    """Shared CTE chain: transcripts → extracted ip → lb_class.
+
+    ``json_probe=True`` mirrors the F4 -jsoncol precedence
+    (helpers/helpers.go:274-293): the Azure ClientIP probe over the JSON
+    cell wins when it matches; the whole-row regex is the fallback.
+    """
     p = path or TRANSCRIPTS_DEFAULT
+    probe = (
+        """CASE WHEN regexp_extract(text, '(ClientIP|ClientIPAddress)":"(.*?)",', 2) <> ''
+             THEN regexp_extract(text, '(ClientIP|ClientIPAddress)":"(.*?)",', 2) END"""
+        if json_probe
+        else "CAST(NULL AS VARCHAR)"
+    )
     return f"""
 WITH tr AS (SELECT * FROM read_parquet('{p}')),
 x AS (SELECT conv_id, turn_idx, role, tool, ts, text,
+        {probe} AS direct,
         regexp_extract_all(text, '({IPV4_RE})', 1) AS v4s,
         regexp_extract(text, '({IPV6_RE})', 1) AS v6raw
       FROM tr),
-e AS (SELECT *, COALESCE(list_filter(v4s, q -> NOT {sql_priv4('q')})[1], v4s[1],
+e AS (SELECT *, COALESCE(direct, list_filter(v4s, q -> NOT {sql_priv4('q')})[1], v4s[1],
         CASE WHEN v6raw <> '' THEN v6raw END) AS ip FROM x),
 cls AS (SELECT *, CASE
         WHEN ip IS NULL THEN 'noip'
         WHEN contains(ip,':') AND NOT regexp_matches(ip, '{STRICT_V6_RE}') THEN 'noip'
+        WHEN NOT contains(ip,':') AND NOT regexp_matches(ip, '^{IPV4_RE}$') THEN 'noip'
         WHEN {sql_priv('ip')} THEN 'pvt' ELSE 'pub' END AS lb_class
       FROM e)"""
 

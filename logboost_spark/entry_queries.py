@@ -254,6 +254,145 @@ def t_full_parse_keys(spark, sf_dir):
     return df.select(F.explode(F.map_keys("fields")).alias("key")).distinct()
 
 
+# --- F4 IP-source precedence ----------------------------------------------
+
+#: deterministic -ipcol cell per turn: direct public v4 / direct private
+#: v4 / IP embedded in a non-IP cell (regex fallback path) / direct v6 /
+#: no IP at all — one case per is_valid_ip branch (helpers.go:304-345)
+IPCOL_CASES = [
+    "8.8.8.8",
+    "10.1.2.3",
+    "ip=198.51.100.7 embedded",
+    "2001:db8::5",
+    "no ip here",
+]
+
+
+def t_ip_source_ipcol(spark, sf_dir):
+    """F4 -ipcol precedence: the named column's value wins when it parses
+    as an IP (helpers/helpers.go:304-318); otherwise the regex runs over
+    that cell only, never the whole row."""
+    cases = F.array(*[F.lit(c) for c in IPCOL_CASES])
+    df = _transcripts(spark, sf_dir).withColumn(
+        "ipcol", F.element_at(cases, (F.col("turn_idx") % len(IPCOL_CASES) + 1).cast("int"))
+    )
+    out = ip_extract_stage(df, ip_col_name="ipcol")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("_cls") == "noip", "NoIP").otherwise(F.col("_ip")).alias("lb_ip"),
+        F.col("_cls").alias("lb_class"),
+    )
+
+
+def t_ip_source_jsoncol(spark, sf_dir):
+    """F4 -jsoncol precedence: the Azure ClientIP probe
+    (vars/vars.go:14, helpers/helpers.go:274-293) wins when it matches;
+    whole-row regex is the fallback."""
+    out = ip_extract_stage(_transcripts(spark, sf_dir), json_col_name="text")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("_cls") == "noip", "NoIP").otherwise(F.col("_ip")).alias("lb_ip"),
+        F.col("_cls").alias("lb_class"),
+    )
+
+
+# --- Readers (S3/P2/P4) and combine (S9/F5/F7) ------------------------------
+
+FILES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "files"
+)
+
+
+def t_multiline_records(spark, sf_dir):
+    """P4 reader path: CloudTrail-style {"Records":[...]} file → one row
+    per record (replaces the rune tokenizer, parse_json_multi.go:94-156)."""
+    from .sources.readers import read_multiline_json
+
+    df = read_multiline_json(spark, os.path.join(FILES_DIR, "cloudtrail.json"))
+    return df.select(
+        "eventName", "requestID", "sourceIP", F.col("count").cast("long").alias("count")
+    )
+
+
+def t_iis_reader(spark, sf_dir):
+    """P2 per-file reader path: #Fields directive names the columns,
+    width-mismatched rows dropped (parse_iis_w3c.go:15-54,101-108)."""
+    from .sources.readers import read_iis_w3c
+
+    return read_iis_w3c(spark, os.path.join(FILES_DIR, "iis_w3c.log"))
+
+
+def t_csv_lazyquotes(spark, sf_dir):
+    """S3 CSV reader: quoted commas, doubled quotes, embedded newlines
+    (helpers/helpers.go:113-118 LazyQuotes tolerance)."""
+    from .sources.readers import read_csv
+
+    df = read_csv(spark, os.path.join(FILES_DIR, "quoted.csv"))
+    return df.select(F.col("id").cast("long").alias("id"), "message", "source")
+
+
+def t_combine_union(spark, sf_dir):
+    """S9/F7 combine sink: mixed-schema union aligned by column name,
+    missing columns null (helpers/helpers.go:765-847)."""
+    from .operators.combine import combine
+
+    ev = _t(spark, sf_dir, "events")
+    d1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type", "value")
+    d2 = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id")
+    return combine([d1, d2])
+
+
+def t_fuzzy_headers(spark, sf_dir):
+    """F5 fuzzy header match (helpers/helpers.go:921-930): equality after
+    quote-stripping, else substring containment — resolved names drive the
+    projection, so a wrong resolution breaks the aggregate."""
+    from .operators.combine import fuzzy_resolve
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumnRenamed("event_type", '"event_type"')
+        .withColumnRenamed("user_id", "user_id_str")
+    )
+    targets = ["event_type", "user_id", "event_id"]
+    resolved = [fuzzy_resolve(ev, t) for t in targets]
+    out = ev.select(*[F.col(f"`{c}`").alias(t) for c, t in zip(resolved, targets)])
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("user_id").alias("sum_uid")
+    )
+
+
+# --- Multimodal plumbing -----------------------------------------------------
+
+
+def t_media_features(spark, sf_dir):
+    """Multimodal decode plumbing: binary payload → feature vector via
+    Arrow-batched mapInPandas (decoder stubbed: sha256-derived features,
+    replayed exactly by the SQL oracle); features re-quantized to the
+    source bytes so the comparison is exact, not float-rounded."""
+    from .operators.multimodal import extract_features, gen_media_fixture
+
+    feats = extract_features(gen_media_fixture(spark, 64))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform("features", lambda x: F.round(x * 255).cast("int").cast("string")),
+            ",",
+        ).alias("feat_bytes"),
+    )
+
+
+def t_media_frames(spark, sf_dir):
+    """Multimodal frame sampling: one row per sampled frame offset from
+    the duration metadata (the explode shape of a real frame sampler)."""
+    from .operators.multimodal import gen_media_fixture, sample_frames
+
+    return sample_frames(gen_media_fixture(spark, 64), every_ms=1000)
+
+
 def t_date_filter(spark, sf_dir):
     """F1: inclusive ts between; per-role counts."""
     df = _transcripts(spark, sf_dir)
@@ -548,8 +687,10 @@ def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
     params = minhash_params(8)
     tpath = fixture_path(sf)
     cls = X.transcript_cls_cte(tpath)
+    cls_json = X.transcript_cls_cte(tpath, json_probe=True)
     enr = X.enriched_cte(tpath)
     enr_full = X.enriched_cte(tpath, full=True)
+    cases_sql = "[" + ", ".join(f"'{c}'" for c in IPCOL_CASES) + "]"
     tok = X.sql_tokens("text")
     h = X.sql_md5_long("tok")
 
@@ -656,6 +797,77 @@ ent AS (SELECT {X.parse_entries_sql('text')} AS entries
   FROM p WHERE format NOT IN ('json', 'json_multi'))
 SELECT DISTINCT regexp_extract(e, '^([^=]+)=', 1) AS key
 FROM (SELECT unnest(string_split(entries, ';')) AS e FROM ent)""",
+        "t_ip_source_ipcol": f"""
+WITH tr AS (SELECT conv_id, turn_idx FROM read_parquet('{tpath}')),
+s AS (SELECT conv_id, turn_idx,
+        {cases_sql}[CAST(turn_idx % {len(IPCOL_CASES)} AS INT) + 1] AS ipcol FROM tr),
+x AS (SELECT *,
+        CASE WHEN contains(ipcol, ':') THEN regexp_matches(ipcol, '{X.STRICT_V6_RE}')
+             ELSE regexp_matches(ipcol, '^{X.IPV4_RE}$') END AS direct_ok,
+        regexp_extract_all(ipcol, '({X.IPV4_RE})', 1) AS v4s,
+        regexp_extract(ipcol, '({X.IPV6_RE})', 1) AS v6raw
+      FROM s),
+e AS (SELECT *, CASE WHEN direct_ok THEN ipcol
+        ELSE COALESCE(list_filter(v4s, q -> NOT {X.sql_priv4('q')})[1], v4s[1],
+                      CASE WHEN v6raw <> '' THEN v6raw END) END AS ip FROM x),
+cls AS (SELECT *, CASE
+        WHEN ip IS NULL THEN 'noip'
+        WHEN contains(ip,':') AND NOT regexp_matches(ip, '{X.STRICT_V6_RE}') THEN 'noip'
+        WHEN {X.sql_priv('ip')} THEN 'pvt' ELSE 'pub' END AS lb_class
+      FROM e)
+SELECT conv_id, turn_idx,
+  CASE WHEN lb_class='noip' THEN 'NoIP' ELSE ip END AS lb_ip, lb_class
+FROM cls""",
+        "t_ip_source_jsoncol": cls_json
+        + """
+SELECT conv_id, turn_idx,
+  CASE WHEN lb_class='noip' THEN 'NoIP' ELSE ip END AS lb_ip, lb_class
+FROM cls""",
+        "t_multiline_records": f"""
+SELECT r.eventName AS eventName, r.requestID AS requestID,
+       r.sourceIP AS sourceIP, r."count" AS count
+FROM (SELECT unnest(Records) AS r
+      FROM read_json('{FILES_DIR}/cloudtrail.json', format='unstructured'))""",
+        "t_iis_reader": f"""
+WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line
+             FROM read_text('{FILES_DIR}/iis_w3c.log')),
+d AS (SELECT string_split(line, ' ') AS p FROM raw
+      WHERE line NOT LIKE '#%' AND trim(line) <> '')
+SELECT p[1] AS "date", p[2] AS "time", p[3] AS "c-ip",
+       p[4] AS "cs-method", p[5] AS "sc-status"
+FROM d WHERE len(p) = 5""",
+        "t_csv_lazyquotes": f"""
+SELECT id, message, source FROM read_csv('{FILES_DIR}/quoted.csv')""",
+        "t_combine_union": """
+SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS user_id
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), user_id
+FROM events WHERE event_id % 2 = 1""",
+        "t_fuzzy_headers": """
+SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_uid
+FROM events GROUP BY event_type""",
+        "t_media_features": """
+WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
+    ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind,
+    CAST(32 + i % 64 AS INT) AS n_bytes
+  FROM range(64) t(i)),
+p AS (SELECT media_id, kind, n_bytes,
+    array_to_string(list_transform(range(0, n_bytes),
+        j -> chr(CAST((media_id*7 + j) % 95 + 32 AS INT))), '') AS payload
+  FROM m),
+h AS (SELECT media_id, kind, n_bytes, sha256(payload) AS hx FROM p)
+SELECT media_id, kind, n_bytes,
+  array_to_string(list_transform(range(0, 16), i ->
+    CAST((strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1)
+      AS VARCHAR)), ',') AS feat_bytes
+FROM h""",
+        "t_media_frames": """
+WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
+    CAST(1000 * (1 + i % 10) AS INT) AS duration_ms
+  FROM range(64) t(i) WHERE i % 3 = 2)
+SELECT media_id, CAST(unnest(range(0, duration_ms, 1000)) AS INT) AS frame_ms FROM m""",
         "ti_build_ingest": f"""
 WITH lines AS (SELECT trim(text) AS t FROM read_parquet('{tpath}')),
 ex AS (SELECT t, regexp_extract(t, '({IPV4_FOR_SQL})', 1) AS ip FROM lines
@@ -880,6 +1092,15 @@ QUERIES = {
     "t_parse_json_flat": t_parse_json_flat,
     "t_extra_keys": t_extra_keys,
     "t_full_parse_keys": t_full_parse_keys,
+    "t_ip_source_ipcol": t_ip_source_ipcol,
+    "t_ip_source_jsoncol": t_ip_source_jsoncol,
+    "t_multiline_records": t_multiline_records,
+    "t_iis_reader": t_iis_reader,
+    "t_csv_lazyquotes": t_csv_lazyquotes,
+    "t_combine_union": t_combine_union,
+    "t_fuzzy_headers": t_fuzzy_headers,
+    "t_media_features": t_media_features,
+    "t_media_frames": t_media_frames,
     "t_date_filter": t_date_filter,
     "t_turn_order": t_turn_order,
     "q1_pricing_summary": q1_pricing_summary,

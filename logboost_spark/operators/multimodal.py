@@ -54,28 +54,76 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
+class MediaDecoder:
+    """Pluggable decoder interface: payload bytes → fixed-dim features.
+
+    Implementations must be picklable (they ship to executors inside the
+    mapInPandas closure) and must raise on undecodable payloads so bad
+    media surfaces as task errors instead of silent nulls.
+    """
+
+    feature_dim: int = FEATURE_DIM
+
+    def decode(self, kind: str, payload: bytes) -> list[float]:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class StubDecoder(MediaDecoder):
     """STUB — deterministic stand-in for a real decoder (PIL/ffmpeg not in
-    this container). Raises for empty payloads like a real decoder would.
-    Replace with actual decode + model features in production."""
-    if not payload:
-        raise NotImplementedError("real media decode not available in this environment")
-    digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    this container). Produces a sha256-derived fake feature vector so the
+    Spark-side plumbing (schema, Arrow batching, partitioning) is fully
+    exercised. NOT a real decode; swap in a PillowDecoder/FfmpegDecoder
+    in production."""
+
+    def decode(self, kind: str, payload: bytes) -> list[float]:
+        if not payload:
+            raise NotImplementedError(
+                "real media decode not available in this environment"
+            )
+        digest = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in digest[: self.feature_dim]]
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """binary payload → fixed-dim feature vector, Arrow-batched."""
+def default_decoder() -> MediaDecoder:
+    """Return the best decoder importable in this environment.
+
+    Tries real media libraries first (none are baked into this
+    container, so the stub is what tests exercise); a production image
+    would land in the PIL branch without any caller change.
+    """
+    try:  # pragma: no cover - PIL absent in this container
+        from PIL import Image  # noqa: F401
+
+        class PillowDecoder(MediaDecoder):
+            def decode(self, kind: str, payload: bytes) -> list[float]:
+                import io
+
+                import numpy as np
+
+                img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+                return (np.asarray(img, dtype="float32").ravel() / 255.0).tolist()
+
+        return PillowDecoder()
+    except ImportError:
+        return StubDecoder()
+
+
+def extract_features(media: DataFrame, decoder: MediaDecoder | None = None) -> DataFrame:
+    """binary payload → fixed-dim feature vector, Arrow-batched.
+
+    ``decoder`` is any :class:`MediaDecoder`; defaults to
+    :func:`default_decoder` (the stub in this container)."""
+    dec = decoder or default_decoder()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nb = [], []
-            for p in pdf["payload"]:
+            for kind, p in zip(pdf["kind"], pdf["payload"]):
                 if p is None or len(p) == 0:
                     feats.append(None)
                     nb.append(0)
                 else:
-                    feats.append(_fake_decode(bytes(p)))
+                    feats.append(dec.decode(kind, bytes(p)))
                     nb.append(len(p))
             yield pd.DataFrame(
                 {
@@ -110,7 +158,10 @@ def gen_media_fixture(spark, n: int = 64) -> DataFrame:
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes([(i * 7 + j) % 256 for j in range(32 + i % 64)])
+        # printable-ASCII payload bytes: identical bytes are reachable from
+        # SQL (chr()→string→sha256), so the DuckDB oracle can replay the
+        # stub decoder bit-for-bit; the binary-column plumbing is unchanged
+        payload = bytes([(i * 7 + j) % 95 + 32 for j in range(32 + i % 64)])
         meta = (64 + i % 512, 64 + (i * 3) % 512, 1000 * (1 + i % 10), "fake")
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

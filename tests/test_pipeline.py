@@ -109,3 +109,53 @@ def test_resume_refuses_changed_group_count(spark, tmp_path):
         use_whois=False, use_idb=False,
     )
     assert m == []
+
+
+def test_group_partitioned_source_parity(spark, lookups, tmp_path):
+    """The production path: a source laid out bucket-partitioned by commit
+    group (Iceberg bucket(conv_id); a parquet partition column locally)
+    with group_col_name= must produce byte-identical routed rows to the
+    on-the-fly pmod(xxhash64(conv_id)) fallback, with the group filter
+    arriving at the scan as a PartitionFilter (pruning, not a data scan)."""
+    from pyspark.sql import functions as F
+
+    pdf = TR.gen_pandas(2000)
+    sdf = spark.createDataFrame(pdf)
+    src = str(tmp_path / "src")
+    (
+        sdf.withColumn("cgroup", F.pmod(F.xxhash64("conv_id"), F.lit(3)))
+        .repartition(4)
+        .write.partitionBy("cgroup")
+        .parquet(src)
+    )
+    part = spark.read.parquet(src)
+
+    # pruning reaches the scan
+    plan = (
+        part.filter(F.col("cgroup").cast("bigint") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [(cgroup" in plan
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_pipeline(
+        spark, part, lookups, out_a, n_groups=3, group_col_name="cgroup",
+        use_whois=False, use_idb=False,
+    )
+    run_pipeline(
+        spark, sdf, lookups, out_b, n_groups=3,
+        use_whois=False, use_idb=False,
+    )
+    assert sink_counts(spark, out_a) == sink_counts(spark, out_b)
+
+    def canon(out):
+        return read_sinks(spark, out).drop("group").withColumn(
+            "fields",
+            F.to_json(F.map_from_entries(F.array_sort(F.map_entries("fields")))),
+        )
+
+    a, b = canon(out_a), canon(out_b)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -8,8 +8,11 @@ from pyspark.sql import functions as F
 
 from logboost_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     infer_dim,
+    ivf_codebook,
+    train_centroids_lloyd,
 )
 
 SF001 = "/root/testdata/sf0.01"
@@ -73,6 +76,73 @@ def test_lsh_recall_on_fixture(spark):
     approx = {
         (r.query_id, r.neighbor_id)
         for r in cosine_topk_lsh(embp, q, k=10, n_planes=12, bands=6, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@10 {recall} < 0.9"
+
+
+def test_ivf_returns_true_cosines(spark, emb):
+    """IVF candidates carry exact cosines (the re-rank is exact) and
+    every query returns at most k rows."""
+    vecs, df = emb
+    q = df.filter(F.col("vec_id") < 3)
+    got = cosine_topk_ivf(df, q, k=5, n_cells=8, nprobe=3, dim=16).collect()
+    assert len(got) > 0
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        c = float(
+            vecs[r.query_id]
+            @ vecs[r.neighbor_id]
+            / (np.linalg.norm(vecs[r.query_id]) * np.linalg.norm(vecs[r.neighbor_id]))
+        )
+        assert abs(c - r.cos) < 1e-4
+    assert all(v <= 5 for v in per_q.values())
+
+
+def test_lloyd_trainer_deterministic_and_improves(spark, emb):
+    """Two runs agree bit-for-bit; iterating reduces mean distance of a
+    vector to its assigned centroid (the k-means objective)."""
+    vecs, df = emb
+
+    def objective(cents):
+        c = np.array(cents)
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return float(d.min(axis=1).mean())
+
+    c0 = train_centroids_lloyd(df, n_cells=6, iters=0)
+    c1 = train_centroids_lloyd(df, n_cells=6, iters=1)
+    c1b = train_centroids_lloyd(df, n_cells=6, iters=1)
+    c3 = train_centroids_lloyd(df, n_cells=6, iters=3)
+    assert c1 == c1b
+    assert len(c1) == 6 and all(len(c) == 16 for c in c1)
+    assert objective(c1) <= objective(c0)
+    assert objective(c3) <= objective(c1)
+
+
+def test_ivf_with_trained_codebook(spark, emb):
+    """The trained codebook plugs into cosine_topk_ivf."""
+    _, df = emb
+    cents = train_centroids_lloyd(df, n_cells=6, iters=1)
+    q = df.filter(F.col("vec_id") < 2)
+    got = cosine_topk_ivf(df, q, k=5, nprobe=2, dim=16, codebook=cents).collect()
+    assert len(got) > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_ivf_recall_on_fixture(spark):
+    """Recall@10 of the gate query's IVF (16 sampled cells, nprobe=4)
+    vs exact brute force — the measured number backing ann_topk_ivf."""
+    from logboost_spark.operators.similarity import sampled_codebook
+
+    path = os.path.join(SF001, "embeddings.parquet")
+    embp = spark.read.parquet(path)
+    cb = sampled_codebook(path, 16)
+    q = embp.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(embp, q, k=10).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(embp, q, k=10, nprobe=4, dim=64, codebook=cb).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall@10 {recall} < 0.9"

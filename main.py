@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-idb", action="store_true")
     p.add_argument("--no-parse", action="store_true")
     p.add_argument("--groups", type=int, default=8, help="commit groups (resume units)")
+    p.add_argument(
+        "--group-col",
+        default=None,
+        help="source partition column holding pmod(xxhash64(conv_id), --groups) "
+        "(Iceberg bucket layout) — enables per-group partition PRUNING at the scan",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--combine", action="store_true", help="write combined union of all sinks")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (tests only)")
@@ -72,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         args.output,
         resume=args.resume,
         n_groups=args.groups,
+        group_col_name=args.group_col,
         do_parse=not args.no_parse,
         use_ti=not args.no_ti,
         use_dns=not args.no_dns,

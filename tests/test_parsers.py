@@ -162,3 +162,29 @@ def test_read_iis_w3c_file(spark, tmp_path):
     p2.write_text("#Fields: date,c-ip,status\n2023-06-01,10.0.0.1,200\n")
     out2 = read_iis_w3c(spark, str(p2)).collect()
     assert out2[0]["c-ip"] == "10.0.0.1"
+
+
+def test_gzip_source_transparent(spark, tmp_path):
+    """S2 (helpers/helpers.go:1036-1070 magic-byte gzip peek): Spark reads
+    .gz transparently through the same reader paths — CSV and line-text
+    content must equal the uncompressed fixture byte for byte."""
+    import gzip
+
+    from logboost_spark.sources.readers import read_csv, read_text
+
+    csv_body = "h1,h2\na,1\nb,2\n"
+    log_body = "alpha 1.2.3.4\nbeta 5.6.7.8\n"
+    (tmp_path / "t.csv").write_text(csv_body)
+    with gzip.open(tmp_path / "t.csv.gz", "wt") as f:
+        f.write(csv_body)
+    (tmp_path / "t.log").write_text(log_body)
+    with gzip.open(tmp_path / "t.log.gz", "wt") as f:
+        f.write(log_body)
+
+    plain = read_csv(spark, str(tmp_path / "t.csv")).orderBy("h1").collect()
+    gz = read_csv(spark, str(tmp_path / "t.csv.gz")).orderBy("h1").collect()
+    assert plain == gz and len(gz) == 2
+
+    plain_t = read_text(spark, str(tmp_path / "t.log")).orderBy("line").collect()
+    gz_t = read_text(spark, str(tmp_path / "t.log.gz")).orderBy("line").collect()
+    assert plain_t == gz_t and len(gz_t) == 2

@@ -64,8 +64,18 @@ REPS = int(os.environ.get("SCALING_REPS", "2"))
 
 
 def run(cores: int, rows: int) -> dict:
+    """One fresh-JVM run PINNED to exactly `cores` CPUs (taskset).
+
+    Without pinning, a local[2] JVM borrows the box's idle 30 cores for
+    GC, JIT compilation, and Python workers — a "2-core" run that is
+    really a 2-worker-thread run on a 32-core machine. A real 2-core
+    executor has 2 cores for EVERYTHING, so the unpinned baseline
+    overstates small-N throughput and understates scaling efficiency.
+    CPU affinity also makes the JVM size its GC/JIT thread pools to the
+    budget (availableProcessors honors sched affinity on Linux)."""
     code = RUN_SNIPPET.format(root=ROOT, cores=cores, rows=rows)
-    p = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=5400)
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])

@@ -609,6 +609,26 @@ def doc_lang_id(spark, sf_dir):
     )
 
 
+def t_pii_scrub(spark, sf_dir):
+    """Typed PII redaction over transcript text (training-data scrub
+    pass): sequential email → IPv4 → phone global regexp_replace, all
+    JVM regex; per-type pre-scrub counts alongside. The fixture carries
+    IPs in ~80% of turns (the email/phone patterns are exercised with
+    synthetic rows in tests/test_textfns.py)."""
+    from .functions.textfns import pii_counts, pii_scrub
+
+    t = _transcripts(spark, sf_dir)
+    counts = pii_counts(F.col("text"))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        pii_scrub(F.col("text")).alias("scrubbed"),
+        counts["email"].cast("bigint").alias("n_emails"),
+        counts["ipv4"].cast("bigint").alias("n_ips"),
+        counts["phone"].cast("bigint").alias("n_phones"),
+    )
+
+
 def doc_fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
@@ -709,6 +729,17 @@ def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
     cases_sql = "[" + ", ".join(f"'{c}'" for c in IPCOL_CASES) + "]"
     tok = X.sql_tokens("text")
     h = X.sql_md5_long("tok")
+
+    from .functions.textfns import PII_PATTERNS
+
+    pii_scrub_sql = "text"
+    for _, _pat, _repl in PII_PATTERNS:
+        pii_scrub_sql = f"regexp_replace({pii_scrub_sql}, '{_pat}', '{_repl}', 'g')"
+    _pii_names = {"email": "n_emails", "ipv4": "n_ips", "phone": "n_phones"}
+    pii_count_sql = ", ".join(
+        f"len(regexp_extract_all(text, '{_pat}')) AS {_pii_names[_name]}"
+        for _name, _pat, _ in PII_PATTERNS
+    )
 
     from .operators.similarity import sampled_codebook
 
@@ -908,6 +939,9 @@ FROM {X._lk('ti')} GROUP BY feed_name""",
 SELECT role, count(*) AS cnt FROM read_parquet('{tpath}')
 WHERE ts BETWEEN TIMESTAMP '2023-06-01 00:10:00' AND TIMESTAMP '2023-06-01 03:00:00'
 GROUP BY role""",
+        "t_pii_scrub": f"""
+SELECT conv_id, turn_idx, {pii_scrub_sql} AS scrubbed, {pii_count_sql}
+FROM read_parquet('{tpath}')""",
         "t_turn_order": f"""
 WITH t AS (SELECT conv_id, turn_idx,
    ((turn_idx + 1) * ({X.sql_md5_long('text')} % {P})) % {P} AS w
@@ -1143,6 +1177,7 @@ QUERIES = {
     "t_media_features": t_media_features,
     "t_media_frames": t_media_frames,
     "t_date_filter": t_date_filter,
+    "t_pii_scrub": t_pii_scrub,
     "t_turn_order": t_turn_order,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_by_priority": q3_revenue_by_priority,

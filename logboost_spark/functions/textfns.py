@@ -99,3 +99,33 @@ def doc_fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, v: F.pmod(acc + v, F.lit(MERSENNE_P)),
     )
+
+
+#: PII redaction patterns, applied in ORDER (emails first — an address
+#: contains dot-runs a later pattern could mangle; IPs before phones —
+#: the phone digit-group pattern would otherwise eat dotted quads).
+#: Plain RE2-compatible syntax so the DuckDB oracle replays them
+#: verbatim (no lookaround, no backrefs).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type match counts on the ORIGINAL text (pre-scrub)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Typed redaction: sequential global regexp_replace in
+    PII_PATTERNS order — the standard training-data scrub pass, all
+    JVM-side regex (no Python)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -66,3 +66,45 @@ def test_go_layout_translation():
     assert go_layout_to_jvm("01/02/2006") == "MM/dd/yyyy"
     assert go_layout_to_jvm("Jan 2 15:04:05") == "MMM d HH:mm:ss"
     assert go_layout_to_jvm("2006-01-02T15:04:05.000Z07:00") == "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+
+
+def test_pii_scrub_all_types(spark):
+    """Engine scrub vs a Python `re` oracle on synthetic rows covering
+    every pattern (the driver fixture exercises only the IP path)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from logboost_spark.functions.textfns import PII_PATTERNS, pii_counts, pii_scrub
+
+    rows = [
+        (0, "contact bob.smith+spam@mail.example.co.uk or root@h.io today"),
+        (1, "src 10.0.0.1 dst 203.0.113.77 gw 192.168.1.254"),
+        (2, "call +1 (555) 123-4567 or 555 987 6543 now"),
+        (3, "mixed a@b.io from 8.8.8.8 phone +44 (020) 794-60958 tail"),
+        (4, "nothing to redact here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    counts = pii_counts(F.col("text"))
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            pii_scrub(F.col("text")).alias("scrubbed"),
+            *[counts[n].alias(n) for n, _, _ in PII_PATTERNS],
+        ).collect()
+    }
+
+    for rid, text in rows:
+        want = text
+        for _, pat, repl in PII_PATTERNS:
+            want = re.sub(pat, repl, want)
+        assert got[rid].scrubbed == want, (rid, got[rid].scrubbed, want)
+        for name, pat, _ in PII_PATTERNS:
+            assert got[rid][name] == len(re.findall(pat, text)), (rid, name)
+
+    # the typed placeholders actually landed
+    assert "<EMAIL>" in got[0].scrubbed and "@" not in got[0].scrubbed
+    assert got[1].scrubbed.count("<IP>") == 3
+    assert "<PHONE>" in got[2].scrubbed

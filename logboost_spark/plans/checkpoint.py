@@ -69,7 +69,7 @@ def write_routed(
     n_groups: int = 8,
     resume: bool = False,
     partitions_per_group: int | None = None,
-    salt_buckets: int = 16,
+    salt_buckets: int = 64,
     reuse_plan: bool = False,
     group_col_name: str | None = None,
 ) -> list[dict]:

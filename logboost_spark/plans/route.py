@@ -43,10 +43,15 @@ def route_stage(df: DataFrame) -> DataFrame:
 def salted_repartition(
     df: DataFrame,
     num_partitions: int | None = None,
-    salt_buckets: int = 16,
+    salt_buckets: int = 64,
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
     """Shuffle by (conv_id, salt(turn_idx)) then restore in-partition order.
+
+    Keep ``salt_buckets`` well above the partition count (≥4×): a hot
+    conversation occupies only salt_buckets distinct shuffle keys, and
+    with salt ≈ partitions balls-in-bins collisions leave 2-3× partition
+    lumps (measured in tests/test_route_skew.py).
 
     When the caller will ``write.partitionBy(col)``, ``col`` must lead
     ``sort_cols``: the dynamic-partition writer re-sorts each task by its

@@ -647,6 +647,19 @@ def doc_minhash_lsh(spark, sf_dir):
     )
 
 
+def doc_dup_clusters(spark, sf_dir):
+    """The dedup end product: connected components over the MinHash-LSH
+    near-dup pairs, one canonical representative (min doc_id) kept per
+    cluster — iterative min-label propagation, O(component diameter)
+    rounds (near-dup clusters are shallow)."""
+    from .operators.dedup import near_dup_clusters
+
+    pairs = minhash_lsh_pairs(
+        _t_par(spark, sf_dir, "documents"), k=64, bands=8, ngram=2, threshold=0.8
+    )
+    return near_dup_clusters(pairs)
+
+
 def doc_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), bits=32)
 
@@ -1064,6 +1077,24 @@ v AS (SELECT c.doc_a, c.doc_b,
         len(list_intersect(da.sh, db.sh)) / len(list_distinct(list_concat(da.sh, db.sh))) AS j
       FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b)
 SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM v WHERE j >= {LSH_THR}""",
+        "doc_dup_clusters": f"""
+WITH RECURSIVE d AS (SELECT doc_id, {sh2} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS tok FROM d),
+h AS (SELECT doc_id, {h} AS hv FROM e),
+sig AS (SELECT doc_id, {', '.join(mh_lsh)} FROM h GROUP BY doc_id),
+bands AS ({lsh_band_union}),
+reps AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS rep FROM bands),
+cand AS (SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM reps WHERE doc_id <> rep),
+v AS (SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b
+      WHERE len(list_intersect(da.sh, db.sh)) / len(list_distinct(list_concat(da.sh, db.sh))) >= {LSH_THR}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+          UNION SELECT doc_b, doc_a FROM v),
+cc AS (SELECT DISTINCT src AS id, src AS lab FROM edges
+       UNION
+       SELECT e.dst AS id, cc.lab FROM cc JOIN edges e ON e.src = cc.id)
+SELECT id AS doc_id, min(lab) AS cluster, (id = min(lab)) AS keep
+FROM cc GROUP BY id""",
         "doc_simhash": f"""
 WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
 h AS (SELECT doc_id, {h} AS hv FROM toks),
@@ -1198,6 +1229,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "doc_minhash_sigs": doc_minhash_sigs,
     "doc_minhash_lsh": doc_minhash_lsh,
+    "doc_dup_clusters": doc_dup_clusters,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "ann_topk_bruteforce": ann_topk_bruteforce,

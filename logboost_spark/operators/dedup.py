@@ -330,3 +330,63 @@ def embedding_near_dups_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster, keep).
+
+    The end product of a dedup pipeline: group transitively-linked
+    near-dups and keep ONE canonical representative per cluster (the
+    min doc_id). Iterative min-label propagation: each round every
+    vertex takes the min label in its neighborhood; converges in
+    O(component diameter) rounds — near-dup clusters are shallow (a
+    dup of a dup of X is a dup of X), so a handful of rounds suffice.
+    Each round is one shuffle-by-vertex; localCheckpoint cuts lineage
+    so the plan doesn't grow per iteration. At extreme diameters the
+    large-star/small-star variant caps rounds at O(log n); not needed
+    for near-dup graphs. Raises if max_iter rounds don't converge.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlab"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlab"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"near_dup_clusters did not converge in {max_iter} rounds")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )

@@ -116,3 +116,20 @@ def test_embedding_near_dups(spark):
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(emb, threshold=0.9).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_near_dup_clusters_known_graph(spark):
+    """Chain 1-2-3, triangle 10-11-12 (with redundant edge), isolated
+    pair (20,21): three components, min-id representative kept."""
+    from logboost_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r.doc_id: (r.cluster, r.keep) for r in near_dup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        20: (20, True), 21: (20, False),
+    }

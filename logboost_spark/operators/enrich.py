@@ -139,11 +139,72 @@ def enrich(
         .alias("lb_IP")
     )
 
+    # --- ONE broadcast join for every ip-keyed lookup --------------------
+    # TI (J3), DNS (J5), IP-WHOIS (J8) and IDB (J9) all key on _join_ip.
+    # The lookups are dimension-sized with unique ip keys, so pre-joining
+    # them full-outer on the lookup side (key union) and LEFT-joining the
+    # fact table ONCE is row-for-row identical to the sequential left
+    # joins. Wall-clock parity locally (whole-stage codegen already fused
+    # the consecutive probes into one row build), but: one broadcast to
+    # ship instead of four, a shallower analyzed plan, and one probe per
+    # row instead of four — which matters whenever codegen fusion breaks
+    # (stage too wide, method split) or on executors where four separate
+    # broadcast relations would each hold memory.
+    ip_lookups: list[DataFrame] = []
+    if use_ti:
+        ip_lookups.append(ti_by_ip(lookups["ti"]).withColumnRenamed("ip", "_ipk"))
+    if use_dns:
+        dp = lookups["dns_ptr"].select(
+            F.col("ip").alias("_ipk"),
+            "domains",
+            # TLD parse on the LOOKUP side (dimension-sized): the fact
+            # table never touches Python — the pandas UDF runs once per
+            # PTR record before the broadcast. (Fact-side `when` branches
+            # would be hoisted by Spark and run on EVERY row.)
+            tld_of(F.get(F.col("domains"), 0)).alias("_tld_lk"),
+        )
+        ip_lookups.append(dp)
+    if use_whois:
+        ip_lookups.append(
+            lookups["whois_ip"].select(
+                F.col("ip").alias("_ipk"),
+                *[
+                    F.col(c).alias(f"_wi_{c}")
+                    for c in ["cidr", "netname", "nettype", "org", "created", "updated", "country", "parent"]
+                ],
+            )
+        )
+    if use_idb:
+        ip_lookups.append(
+            lookups["shodan_idb"].select(
+                F.col("ip").alias("_ipk"),
+                F.array_join("cpes", "|").alias("_idb_cpes"),
+                F.array_join("hostnames", "|").alias("_idb_hostnames"),
+                F.array_join(F.transform("ports", lambda x: x.cast("string")), "|").alias(
+                    "_idb_ports"
+                ),
+                F.array_join("tags", "|").alias("_idb_tags"),
+                F.array_join("vulns", "|").alias("_idb_vulns"),
+            )
+        )
+    if ip_lookups:
+        # key union + left joins rather than chained full_outer: full
+        # outer can't broadcast (it would plan lookup-side SortMergeJoins);
+        # left joins of dimension-sized frames stay BroadcastHashJoin all
+        # the way down, keeping the whole enrich plan shuffle-free.
+        keys = ip_lookups[0].select("_ipk")
+        for lk in ip_lookups[1:]:
+            keys = keys.union(lk.select("_ipk"))
+        combined = keys.distinct()
+        for lk in ip_lookups:
+            combined = combined.join(F.broadcast(lk), "_ipk", "left")
+        df = df.join(
+            F.broadcast(combined), df["_join_ip"] == combined["_ipk"], "left"
+        ).drop("_ipk")
+
     # --- threat intel (J3+J4+A1) -----------------------------------------
     ti_out = []
     if use_ti:
-        tia = ti_by_ip(lookups["ti"]).withColumnRenamed("ip", "_ti_ip")
-        df = df.join(F.broadcast(tia), df["_join_ip"] == tia["_ti_ip"], "left").drop("_ti_ip")
         cats = F.when(
             F.col("_is_dc"),
             F.array_sort(
@@ -182,17 +243,6 @@ def enrich(
     # --- DNS + TLD (J5+J6) ------------------------------------------------
     dns_out = []
     if use_dns:
-        # TLD parse on the LOOKUP side (dimension-sized): the fact table
-        # never touches Python at all — the pandas UDF runs once per PTR
-        # record before the broadcast, not once per fact row. (The UDF in
-        # a fact-side `when` branch would be hoisted by Spark and run on
-        # EVERY row.)
-        dp = lookups["dns_ptr"].select(
-            F.col("ip").alias("_dns_ip"),
-            "domains",
-            tld_of(F.get(F.col("domains"), 0)).alias("_tld_lk"),
-        )
-        df = df.join(F.broadcast(dp), df["_join_ip"] == dp["_dns_ip"], "left").drop("_dns_ip")
         df = df.withColumn("_tld", F.when(pub, F.col("_tld_lk")))
         dns_out = [
             _sentinel(
@@ -234,14 +284,6 @@ def enrich(
     # --- WHOIS IP (J8) -------------------------------------------------------
     wi_out = []
     if use_whois:
-        wi = lookups["whois_ip"].select(
-            F.col("ip").alias("_wi_ip"),
-            *[
-                F.col(c).alias(f"_wi_{c}")
-                for c in ["cidr", "netname", "nettype", "org", "created", "updated", "country", "parent"]
-            ],
-        )
-        df = df.join(F.broadcast(wi), df["_join_ip"] == wi["_wi_ip"], "left").drop("_wi_ip")
         for src, name in zip(
             ["cidr", "netname", "nettype", "org", "created", "updated", "country", "parent"],
             WHOIS_IP_FIELDS,
@@ -253,17 +295,6 @@ def enrich(
     # --- Shodan InternetDB (J9) ----------------------------------------------
     idb_out = []
     if use_idb:
-        idb = lookups["shodan_idb"].select(
-            F.col("ip").alias("_idb_ip"),
-            F.array_join("cpes", "|").alias("_idb_cpes"),
-            F.array_join("hostnames", "|").alias("_idb_hostnames"),
-            F.array_join(F.transform("ports", lambda x: x.cast("string")), "|").alias(
-                "_idb_ports"
-            ),
-            F.array_join("tags", "|").alias("_idb_tags"),
-            F.array_join("vulns", "|").alias("_idb_vulns"),
-        )
-        df = df.join(F.broadcast(idb), df["_join_ip"] == idb["_idb_ip"], "left").drop("_idb_ip")
         for src, name in zip(
             ["cpes", "hostnames", "ports", "tags", "vulns"], IDB_FIELDS
         ):

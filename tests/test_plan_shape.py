@@ -17,7 +17,9 @@ def test_enrich_all_joins_broadcast(spark, lookups):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # fact side must never shuffle
-    assert plan.count("BroadcastHashJoin") >= 6  # geo×2, ti, dns, whois×2, idb
+    # geo×2 + ONE combined ip-keyed join (ti/dns/whois-ip/idb pre-joined
+    # lookup-side, also via broadcast) + whois-domain
+    assert plan.count("BroadcastHashJoin") >= 6
 
 
 def test_parquet_filter_pushdown(spark):

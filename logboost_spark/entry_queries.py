@@ -363,6 +363,46 @@ def t_fuzzy_headers(spark, sf_dir):
     )
 
 
+def t_combine_sourcefile(spark, sf_dir):
+    """S9 combine-files path WITH the SourceFile provenance column
+    (helpers/helpers.go:816-842 appends SourceFile per merged row):
+    mixed-header CSVs union by name, each row tagged with its origin
+    file's basename."""
+    from .operators.combine import combine_files
+    from .semantics import SOURCE_FILE_COL
+
+    df = combine_files(
+        spark,
+        [
+            os.path.join(FILES_DIR, "quoted.csv"),
+            os.path.join(FILES_DIR, "extra.csv"),
+        ],
+        fmt="csv",
+    )
+    return df.select(
+        F.col("id").cast("long").alias("id"),
+        "message",
+        "source",
+        "message_text",
+        "severity",
+        F.regexp_extract(F.col(SOURCE_FILE_COL), r"([^/]+)$", 1).alias("source_file"),
+    )
+
+
+def t_combine_master(spark, sf_dir):
+    """Reference combine semantics (F7 + helpers/helpers.go:765-847):
+    FIRST file's header dictates the output; later files project onto it
+    by fuzzy name ('message' resolves to extra.csv's 'message_text' via
+    substring), unresolved master columns null, extra columns dropped."""
+    from .operators.combine import combine_master
+    from .sources.readers import read_csv
+
+    a = read_csv(spark, os.path.join(FILES_DIR, "quoted.csv"))
+    b = read_csv(spark, os.path.join(FILES_DIR, "extra.csv"))
+    out = combine_master([a, b])
+    return out.select(F.col("id").cast("long").alias("id"), "message", "source")
+
+
 # --- Multimodal plumbing -----------------------------------------------------
 
 
@@ -661,7 +701,7 @@ def doc_dup_clusters(spark, sf_dir):
 
 
 def doc_simhash(spark, sf_dir):
-    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+    return simhash(_t_par(spark, sf_dir, "documents"), bits=32)
 
 
 def doc_ngram_jaccard(spark, sf_dir):
@@ -756,10 +796,13 @@ def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
 
     from .operators.similarity import sampled_codebook
 
+    # No silent fallback to another sf's embeddings: the engine-side
+    # ann_topk_ivf trains its codebook from the SAME sf_dir, so a
+    # substituted codebook here would be a latent oracle/engine mismatch.
+    # At an sf without embeddings the IVF oracle is simply not registered
+    # (the engine query would fail to read there anyway).
     _emb_path = f"/root/testdata/{sf}/embeddings.parquet"
-    if not os.path.exists(_emb_path):
-        _emb_path = "/root/testdata/sf0.01/embeddings.parquet"
-    cb_ivf = sampled_codebook(_emb_path, 16)
+    cb_ivf = sampled_codebook(_emb_path, 16) if os.path.exists(_emb_path) else None
 
     # doc_minhash_lsh: 2-gram shingles, k=128 signatures, 16 bands × r=8
     LSH_K, LSH_BANDS, LSH_THR = 64, 8, 0.8
@@ -774,7 +817,7 @@ def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
         f"CASE WHEN v{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END" for j in range(32)
     )
 
-    return {
+    oracles = {
         # --- transcripts -----------------------------------------------
         "t_ip_extract": cls
         + """
@@ -912,8 +955,22 @@ UNION ALL
 SELECT event_id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), user_id
 FROM events WHERE event_id % 2 = 1""",
         "t_fuzzy_headers": """
-SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_uid
+SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
 FROM events GROUP BY event_type""",
+        "t_combine_sourcefile": f"""
+SELECT id, message, source,
+       CAST(NULL AS VARCHAR) AS message_text, CAST(NULL AS VARCHAR) AS severity,
+       'quoted.csv' AS source_file
+FROM read_csv('{FILES_DIR}/quoted.csv')
+UNION ALL
+SELECT id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       message_text, severity, 'extra.csv'
+FROM read_csv('{FILES_DIR}/extra.csv')""",
+        "t_combine_master": f"""
+SELECT id, message, source FROM read_csv('{FILES_DIR}/quoted.csv')
+UNION ALL
+SELECT id, message_text, CAST(NULL AS VARCHAR)
+FROM read_csv('{FILES_DIR}/extra.csv')""",
         "t_media_features": """
 WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
     ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind,
@@ -1151,10 +1208,10 @@ r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
 SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10""",
         "ann_topk_ivf": f"""
 WITH cc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
-        {X.ivf_assign_sql('embedding', cb_ivf)} AS cell
+        {X.ivf_assign_sql('embedding', cb_ivf) if cb_ivf is not None else 'NULL'} AS cell
       FROM embeddings),
 qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-        unnest({X.ivf_probe_structs_sql('embedding', cb_ivf)}) AS u
+        unnest({X.ivf_probe_structs_sql('embedding', cb_ivf) if cb_ivf is not None else '[]'}) AS u
       FROM embeddings WHERE vec_id < 5),
 probes AS (SELECT query_id, qv, u.cell AS cell,
         row_number() OVER (PARTITION BY query_id ORDER BY u.s DESC, u.cell) AS prk
@@ -1182,6 +1239,9 @@ s AS (SELECT cand.id_a, cand.id_b, list_cosine_similarity(av.v, bv.v) AS cos
                 JOIN cv bv ON bv.vec_id = cand.id_b)
 SELECT id_a, id_b, round(cos, 5) AS cos FROM s WHERE cos >= 0.45""",
     }
+    if cb_ivf is None:
+        del oracles["ann_topk_ivf"]
+    return oracles
 
 
 QUERIES = {
@@ -1205,6 +1265,8 @@ QUERIES = {
     "t_csv_lazyquotes": t_csv_lazyquotes,
     "t_combine_union": t_combine_union,
     "t_fuzzy_headers": t_fuzzy_headers,
+    "t_combine_sourcefile": t_combine_sourcefile,
+    "t_combine_master": t_combine_master,
     "t_media_features": t_media_features,
     "t_media_frames": t_media_frames,
     "t_date_filter": t_date_filter,

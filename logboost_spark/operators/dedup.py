@@ -32,7 +32,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, md5_long, minhash_params
@@ -173,9 +173,14 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signatures(docs, k, text_col, id_col, ngram)
     exploded = minhash_band_buckets(sig, k, bands, id_col)
-    w = Window.partitionBy("band", "bkey")
+    # Two-level min instead of min-over-window: groupBy combines MAP-SIDE
+    # (only per-task partial mins shuffle), and the join-back is a real
+    # join, so AQE skew-join can SPLIT a degenerate hot bucket (e.g. 1M
+    # exact dups sharing every band key) across tasks — a window over
+    # (band, bkey) pins the whole hot bucket into one task by definition.
+    reps = exploded.groupBy("band", "bkey").agg(F.min(id_col).alias("_rep"))
     cand = (
-        exploded.withColumn("_rep", F.min(id_col).over(w))
+        exploded.join(reps, ["band", "bkey"])
         .filter(F.col(id_col) != F.col("_rep"))
         .select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
         .distinct()
@@ -238,10 +243,18 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(F.col("_grams")).alias("g")
     )
     if df_cap is not None:
-        wg = Window.partitionBy("g")
-        sh = sh.withColumn("_df", F.count(F.lit(1)).over(wg)).filter(
-            F.col("_df") <= df_cap
-        ).drop("_df")
+        # df via partial-agg groupBy + semi-join, NOT count-over-window:
+        # a stopword shingle at corpus scale would funnel every (doc, g)
+        # row of the hot gram into ONE window task just to count-and-drop
+        # them; groupBy counts map-side and the semi-join against the
+        # surviving (cold) gram set is AQE-skew-splittable.
+        keep = (
+            sh.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("g")
+        )
+        sh = sh.join(keep, "g", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g"))
     sh = sh.join(sizes, id_col)
     a, b = sh.alias("a"), sh.alias("b")
@@ -309,10 +322,16 @@ def embedding_near_dups_lsh(
     buckets = banded_signature_buckets(
         emb.select(F.col(id_col), F.col(vec_col)), vec_col, id_col, n_planes, bands, dim
     )
-    w = Window.partitionBy("band", "bkey")
-    buckets = buckets.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
-        F.col("_bn") <= bucket_cap
+    # Bucket-size cap via partial-agg groupBy + semi-join (see
+    # ngram_jaccard_pairs df_cap note): counts combine map-side and a hot
+    # (band, bkey) bucket never serializes into a single window task.
+    keep = (
+        buckets.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= bucket_cap)
+        .select("band", "bkey")
     )
+    buckets = buckets.join(keep, ["band", "bkey"], "left_semi")
     ba = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
     bb = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
     cand = (

@@ -42,7 +42,7 @@ from ..semantics import (
     WHOIS_DOMAIN_FIELDS,
     WHOIS_IP_FIELDS,
 )
-from .geo_join import range_lookup_join
+from .geo_join import flatten_intervals, merge_disjoint_interval_tables, range_lookup_join
 
 _DC_CATEGORY = "dc"
 _DC_FEED = "internal datacenter list"
@@ -98,17 +98,35 @@ def enrich(
     if barrier:
         df = df.localCheckpoint(eager=False)
 
-    # --- geo (J1/J2): prefix-bucketed broadcast range joins -------------
+    # --- geo (J1/J2): ONE prefix-bucketed broadcast range join ----------
+    # geo_asn + geo_city are outer-merged driver-side into a single
+    # disjoint interval table (segments carry asn attrs, city attrs, or
+    # both), so the fact table is range-joined — and its rows re-copied —
+    # once instead of twice. Row-for-row identical to two sequential left
+    # joins (merge_disjoint_interval_tables docstring). Cached in the
+    # lookups dict: the merge collects two dimension tables once, not per
+    # enrich() call.
+    if "_geo_merged" not in lookups:
+        a_rows = flatten_intervals([tuple(r) for r in lookups["geo_asn"].collect()])
+        b_rows = flatten_intervals([tuple(r) for r in lookups["geo_city"].collect()])
+        lookups["_geo_merged"] = df.sparkSession.createDataFrame(
+            merge_disjoint_interval_tables(a_rows, b_rows, n_a=2, n_b=2),
+            "net_start bigint, net_end bigint, asn_org string, "
+            "asn_number bigint, country string, city string",
+        )
     df = range_lookup_join(
-        df, F.col("_join_v4"), lookups["geo_asn"], ["asn_org", "asn_number"], prefix="_g_"
-    )
-    df = range_lookup_join(
-        df, F.col("_join_v4"), lookups["geo_city"], ["country", "city"], prefix="_g_"
+        df,
+        F.col("_join_v4"),
+        lookups["_geo_merged"],
+        ["asn_org", "asn_number", "country", "city"],
+        prefix="_g_",
     )
 
     # --- datacenter ASN membership (J4): literal set, codegen'd ---------
     if dc_asn_numbers is None:
-        dc_asn_numbers = [r[0] for r in lookups["dc_asn"].collect()]
+        if "_dc_asn_numbers" not in lookups:
+            lookups["_dc_asn_numbers"] = [r[0] for r in lookups["dc_asn"].collect()]
+        dc_asn_numbers = lookups["_dc_asn_numbers"]
     df = df.withColumn(
         "_is_dc", F.coalesce(F.col("_g_asn_number").isin(dc_asn_numbers), F.lit(False))
     )

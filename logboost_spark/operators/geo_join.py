@@ -84,6 +84,67 @@ def flatten_intervals(rows: list[tuple], n_attrs: int | None = None) -> list[tup
     return [tuple(r) for r in out]
 
 
+def merge_disjoint_interval_tables(
+    a_rows: list[tuple],
+    b_rows: list[tuple],
+    n_a: int | None = None,
+    n_b: int | None = None,
+) -> list[tuple]:
+    """Outer-merge two DISJOINT interval tables into ONE disjoint table.
+
+    ``a_rows``/``b_rows``: (net_start, net_end, *attrs), each internally
+    disjoint (run :func:`flatten_intervals` first otherwise). Output
+    segments cover exactly the union of both inputs; each carries
+    (*a_attrs-or-Nones, *b_attrs-or-Nones) from whichever side covers
+    it. A point covered by neither side produces no segment, so a LEFT
+    range join against the merged table is row-for-row identical to two
+    sequential LEFT range joins against the originals — but the fact
+    table is joined (and its rows re-copied) ONCE instead of twice.
+
+    Driver-side sweep over dimension-sized lookups, O(n log n).
+    """
+    if not a_rows and not b_rows:
+        return []
+    import bisect
+
+    # attr arity must be passed explicitly when a side can be empty —
+    # an empty side still pads its Nones in the output
+    n_a = (len(a_rows[0]) - 2 if a_rows else 0) if n_a is None else n_a
+    n_b = (len(b_rows[0]) - 2 if b_rows else 0) if n_b is None else n_b
+    a_sorted = sorted(a_rows)
+    b_sorted = sorted(b_rows)
+    a_starts = [r[0] for r in a_sorted]
+    b_starts = [r[0] for r in b_sorted]
+
+    def cover(sorted_rows, starts, x):
+        i = bisect.bisect_right(starts, x) - 1
+        if i >= 0 and sorted_rows[i][1] >= x:
+            return sorted_rows[i]
+        return None
+
+    bounds = sorted(
+        {r[0] for r in a_rows}
+        | {r[1] + 1 for r in a_rows}
+        | {r[0] for r in b_rows}
+        | {r[1] + 1 for r in b_rows}
+    )
+    out: list[list] = []
+    for bi in range(len(bounds) - 1):
+        x, seg_end = bounds[bi], bounds[bi + 1] - 1
+        ra = cover(a_sorted, a_starts, x)
+        rb = cover(b_sorted, b_starts, x)
+        if ra is None and rb is None:
+            continue
+        attrs = list(ra[2:] if ra else (None,) * n_a) + list(
+            rb[2:] if rb else (None,) * n_b
+        )
+        if out and out[-1][1] == x - 1 and out[-1][2:] == attrs:
+            out[-1][1] = seg_end  # merge adjacent same-attr segments
+        else:
+            out.append([x, seg_end, *attrs])
+    return [tuple(r) for r in out]
+
+
 def range_lookup_join(
     fact: DataFrame,
     ip_long: Column,

@@ -85,16 +85,46 @@ def write_routed(
     The production path is ``group_col_name``: when the SOURCE layout is
     bucket-partitioned by commit group (Iceberg `bucket(conv_id)` — or a
     parquet partition column locally), pass that column's name and each
-    group job's filter becomes partition PRUNING at the scan, so the
-    n_groups jobs touch each input row exactly once overall. The column
-    must hold pmod(xxhash64(conv_id), n_groups) (conv_id never straddles
-    groups); the fallback computes exactly that expression on the fly for
-    unpartitioned sources — same values, just no pruning.
+    group job's filter can become partition PRUNING at the scan, so the
+    n_groups jobs touch each input row exactly once overall. Pruning
+    reaches the scan when no barrier sits between scan and filter — with
+    enrich's default extraction localCheckpoint (a LogicalRDD the filter
+    cannot push below) the input is instead touched once via the
+    checkpoint cache; pass ``barrier=False`` to enrich (or use the
+    Iceberg layout, where the filter prunes at snapshot planning) for
+    true scan-level pruning. Either way each input row is read once.
+    The column must hold pmod(xxhash64(conv_id), n_groups) (conv_id
+    never straddles groups); the fallback computes exactly that
+    expression on the fly for unpartitioned sources — same values, just
+    no pruning. The stored column's range is VALIDATED against this
+    run's n_groups before any group job: a source partitioned with more
+    groups than the run (e.g. written with pmod(...,8) but n_groups=4)
+    would otherwise silently drop every row with group >= n_groups from
+    all sinks while manifests still commit.
 
     Returns the manifest entries written this run.
     """
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     done = committed_groups(out_dir, n_groups=n_groups) if resume else set()
+    if group_col_name and len(done) < n_groups:
+        gc = F.col(group_col_name).cast("bigint")
+        bad = (
+            routed.filter(gc.isNull() | (gc < 0) | (gc >= n_groups))
+            .select(group_col_name)
+            .limit(1)
+            .collect()
+        )
+        # cheap: on a group-partitioned source this filter IS partition
+        # pruning, so a clean layout lists zero files; early-exit limit(1)
+        # bounds the dirty case
+        if bad:
+            raise ValueError(
+                f"{group_col_name}={bad[0][0]!r} is outside this run's "
+                f"n_groups={n_groups} bucketing — the source was partitioned "
+                "with a different group count; rows outside [0, n_groups) "
+                "would be silently dropped from every sink. Re-run with the "
+                "source's original group count or re-bucket the source."
+            )
     group_col = (
         F.col(group_col_name).cast("bigint")
         if group_col_name

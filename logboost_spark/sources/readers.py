@@ -71,3 +71,88 @@ def expand_json_column(df: DataFrame, json_col: str, keys: list[str]) -> DataFra
     for k in keys:
         out = out.withColumn(k, F.get_json_object(F.col(json_col), f"$.{k}"))
     return out
+
+
+# --- S1: directory discovery (reference findLogsToProcess) -------------------
+
+LOG_EXTS = (".csv", ".log", ".txt")
+
+
+def find_logs_to_process(
+    input_dir: str, getall: bool = False, exts: tuple[str, ...] = LOG_EXTS
+) -> list[str]:
+    """Recursive log-file discovery (reference main.go:144-171): walk the
+    tree collecting files whose extension is .csv/.log/.txt — their .gz
+    variants included (Spark reads gzip transparently, S2) — and with
+    ``getall`` EVERY file regardless of extension (the -getall
+    fall-through). Deterministic sorted order."""
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(input_dir):
+        for fn in files:
+            base = fn[:-3] if fn.endswith(".gz") else fn
+            if getall or base.lower().endswith(tuple(exts)):
+                out.append(os.path.join(root, fn))
+    return sorted(out)
+
+
+def read_log_directory(spark, input_dir: str, getall: bool = False) -> DataFrame:
+    """Mixed log directory → transcript-shaped frame
+    (conv_id, turn_idx, ts, role, tool, text).
+
+    The reference's per-file model (one goroutine set and one output per
+    input file, main.go:487) maps to: conv_id = the file's basename (so
+    per-sink outputs keep file provenance and the salted route shuffle
+    spreads big files), turn_idx = the row's sequence inside its file.
+    CSV files go through the LazyQuotes reader and each row becomes a
+    JSON text blob (IP/indicator extraction scans it like any text);
+    .log/.txt are line sources. Gzip handled transparently.
+
+    Scale note: per-file sequence numbers need a per-file window — hot
+    only if a single FILE dominates the input, which mirrors the
+    reference's own per-file serialization; the north-star table path
+    (parquet/Iceberg transcripts) never uses this reader.
+    """
+    from pyspark.sql import Window
+
+    from ..semantics import SOURCE_FILE_COL
+
+    paths = find_logs_to_process(input_dir, getall=getall)
+    if not paths:
+        raise ValueError(f"{input_dir}: no log files found (getall={getall})")
+
+    def is_csv(p: str) -> bool:
+        return p.endswith(".csv") or p.endswith(".csv.gz")
+
+    frames = []
+    csvs = [p for p in paths if is_csv(p)]
+    if csvs:
+        from ..operators.combine import combine_files
+
+        c = combine_files(spark, csvs, fmt="csv")
+        data_cols = [x for x in c.columns if x != SOURCE_FILE_COL]
+        frames.append(
+            c.select(
+                F.col(SOURCE_FILE_COL),
+                F.to_json(F.struct(*data_cols)).alias("text"),
+            )
+        )
+    others = [p for p in paths if not is_csv(p)]
+    if others:
+        t = spark.read.text(others).withColumn(SOURCE_FILE_COL, F.input_file_name())
+        frames.append(t.select(F.col(SOURCE_FILE_COL), F.col("value").alias("text")))
+
+    from ..operators.combine import combine
+
+    df = combine(frames)
+    conv = F.regexp_extract(F.col(SOURCE_FILE_COL), r"([^/]+?)(?:\.gz)?$", 1)
+    w = Window.partitionBy(SOURCE_FILE_COL).orderBy(F.monotonically_increasing_id())
+    return df.select(
+        conv.alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("log").alias("role"),
+        F.lit("none").alias("tool"),
+        F.col("text"),
+    )

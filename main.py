@@ -30,7 +30,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="logboost_spark pipeline")
-    p.add_argument("--input", required=True, help="transcript table path (parquet)")
+    p.add_argument(
+        "--input",
+        required=True,
+        help="transcript table path (parquet), or with --input-format logs a "
+        "directory of raw .csv/.log/.txt(.gz) files (recursive discovery, "
+        "reference findLogsToProcess main.go:144-171)",
+    )
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "logs"],
+        default="parquet",
+        help="'logs' = recursive mixed-file discovery + per-file readers",
+    )
+    p.add_argument(
+        "--getall",
+        action="store_true",
+        help="with --input-format logs: take EVERY discovered file "
+        "regardless of extension (reference -getall)",
+    )
     p.add_argument("--output", required=True, help="sink root directory")
     p.add_argument("--startdate", default=None)
     p.add_argument("--enddate", default=None)
@@ -65,7 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     from logboost_spark.plans.checkpoint import read_sinks, sink_counts
 
     spark = get_spark(app_name="logboost_spark_cli", cores=args.cores)
-    transcripts = spark.read.parquet(args.input)
+    if args.input_format == "logs":
+        from logboost_spark.sources.readers import read_log_directory
+
+        transcripts = read_log_directory(spark, args.input, getall=args.getall)
+    else:
+        transcripts = spark.read.parquet(args.input)
     if args.startdate and args.enddate:
         transcripts = date_filter(
             transcripts, args.datecol, args.dateformat, args.startdate, args.enddate

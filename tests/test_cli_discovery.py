@@ -1,0 +1,80 @@
+"""S1 CLI parity: recursive mixed-directory discovery (.csv/.log/.txt +
+.gz variants, --getall fall-through) → per-file readers → full pipeline.
+Reference findLogsToProcess (main.go:144-171)."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from logboost_spark.sources.readers import find_logs_to_process, read_log_directory
+
+
+@pytest.fixture()
+def logdir(tmp_path):
+    d = tmp_path / "logs"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.csv").write_text(
+        "ip,action\n8.8.8.8,allow\n10.0.0.5,deny\n1.1.1.1,allow\n"
+    )
+    (d / "sub" / "b.log").write_text(
+        "conn from 93.184.216.34 ok\nconn from 192.168.0.9 refused\n"
+    )
+    (d / "c.txt").write_text("no address here\nanother line\nthird\n")
+    with gzip.open(d / "d.txt.gz", "wt") as f:
+        f.write("gz line 203.0.113.9\ngz line two\n")
+    (d / "skip.bin").write_bytes(b"\x00\x01binary")
+    (d / "note.md").write_text("# not a log\n")
+    return str(d)
+
+
+def test_find_logs_ext_filter_and_getall(logdir):
+    found = find_logs_to_process(logdir)
+    assert found == sorted(found)  # deterministic full-path order
+    assert {os.path.basename(p) for p in found} == {
+        "a.csv", "c.txt", "d.txt.gz", "b.log",
+    }
+    allf = find_logs_to_process(logdir, getall=True)
+    assert {os.path.basename(p) for p in allf} == {
+        "a.csv", "c.txt", "d.txt.gz", "b.log", "skip.bin", "note.md",
+    }
+
+
+def test_read_log_directory_shape(spark, logdir):
+    df = read_log_directory(spark, logdir)
+    rows = df.collect()
+    # 3 csv rows + 2 log lines + 3 txt lines + 2 gz lines
+    assert len(rows) == 10
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    assert set(by_conv) == {"a.csv", "b.log", "c.txt", "d.txt"}
+    # per-file sequence: contiguous from 0
+    for conv, rs in by_conv.items():
+        assert sorted(r.turn_idx for r in rs) == list(range(len(rs))), conv
+    # csv rows carry their columns as JSON text
+    a_texts = [r.text for r in by_conv["a.csv"]]
+    assert any('"ip":"8.8.8.8"' in t and '"action":"allow"' in t for t in a_texts)
+    # gz read transparently
+    assert any("203.0.113.9" in r.text for r in by_conv["d.txt"])
+    assert all(r.role == "log" and r.tool == "none" for r in rows)
+
+
+def test_cli_logs_mode_e2e(spark, logdir, tmp_path, capsys):
+    import main as M
+
+    out = str(tmp_path / "sinks")
+    rc = M.main([
+        "--input", logdir, "--input-format", "logs",
+        "--output", out, "--groups", "2",
+        "--no-whois", "--no-idb",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["groups_written"] == 2
+    assert sum(res["sink_counts"].values()) == 10
+    # public-IP rows with a TI hit route to threat/general; the private
+    # 10.0.0.5 and 192.168.0.9 rows route internal; no-IP lines to noip
+    assert res["sink_counts"]["internal"] == 2
+    assert res["sink_counts"]["noip"] == 4

@@ -61,3 +61,82 @@ def test_property_random_intervals_match_oracle():
 def test_empty_and_single():
     assert flatten_intervals([]) == []
     assert flatten_intervals([(5, 9, "only")]) == [(5, 9, "only")]
+
+
+def test_merge_disjoint_interval_tables_vs_point_oracle():
+    """Outer-merge of two disjoint interval tables == independent
+    per-side point lookups, at every covered point (randomized)."""
+    from logboost_spark.operators.geo_join import merge_disjoint_interval_tables
+
+    rng = random.Random(7)
+    for _ in range(30):
+        def gen(tag, n):
+            rows, x = [], 0
+            for i in range(n):
+                x += rng.randint(1, 8)          # gap (possibly none covered)
+                s = x
+                x += rng.randint(0, 12)
+                rows.append((s, x, f"{tag}{i}", i))
+                x += 1
+            return rows
+
+        a, b = gen("a", rng.randint(0, 6)), gen("b", rng.randint(0, 6))
+        merged = merge_disjoint_interval_tables(a, b, n_a=2, n_b=2)
+
+        # merged is disjoint + sorted
+        for r1, r2 in zip(merged, merged[1:]):
+            assert r1[1] < r2[0]
+
+        def side(rows, x):
+            for r in rows:
+                if r[0] <= x <= r[1]:
+                    return r[2:]
+            return None
+
+        hi = max([r[1] for r in a + b], default=0) + 3
+        for x in range(hi):
+            ra, rb = side(a, x), side(b, x)
+            rm = side(merged, x)
+            if ra is None and rb is None:
+                assert rm is None, (x, rm)
+            else:
+                want = tuple(ra or (None, None)) + tuple(rb or (None, None))
+                assert rm == want, (x, rm, want)
+
+
+def test_merged_geo_join_matches_two_joins(spark):
+    """The enrich-side contract: ONE range join against the merged
+    geo table produces the same columns as the two sequential joins."""
+    from pyspark.sql import functions as F
+
+    from logboost_spark.fixtures.lookups import build_lookup_dfs
+    from logboost_spark.operators.geo_join import (
+        merge_disjoint_interval_tables,
+        range_lookup_join,
+    )
+
+    lk = build_lookup_dfs(spark)
+    a_rows = flatten_intervals([tuple(r) for r in lk["geo_asn"].collect()])
+    b_rows = flatten_intervals([tuple(r) for r in lk["geo_city"].collect()])
+    merged = spark.createDataFrame(
+        merge_disjoint_interval_tables(a_rows, b_rows),
+        "net_start bigint, net_end bigint, asn_org string, "
+        "asn_number bigint, country string, city string",
+    )
+    lo = min(r[0] for r in a_rows + b_rows)
+    hi = max(r[1] for r in a_rows + b_rows)
+    span = hi - lo
+    fact = spark.range(4000).select(
+        F.col("id"),
+        (F.lit(lo - span // 10) + (F.col("id") * 2654435761) % int(span * 1.2)).alias("ipl"),
+    )
+    one = range_lookup_join(
+        fact, F.col("ipl"), merged, ["asn_org", "asn_number", "country", "city"], prefix="g_"
+    )
+    two = range_lookup_join(
+        fact, F.col("ipl"), lk["geo_asn"], ["asn_org", "asn_number"], prefix="g_"
+    )
+    two = range_lookup_join(two, F.col("ipl"), lk["geo_city"], ["country", "city"], prefix="g_")
+    cols = ["id", "ipl", "g_asn_org", "g_asn_number", "g_country", "g_city"]
+    assert one.select(cols).exceptAll(two.select(cols)).count() == 0
+    assert two.select(cols).exceptAll(one.select(cols)).count() == 0

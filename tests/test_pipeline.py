@@ -159,3 +159,70 @@ def test_group_partitioned_source_parity(spark, lookups, tmp_path):
     a, b = canon(out_a), canon(out_b)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_group_col_modulus_mismatch_refused(spark, lookups, tmp_path):
+    """A source partitioned with MORE groups than the run (pmod(...,8)
+    column but n_groups=4) must raise before any group job — otherwise
+    rows with group >= n_groups match no filter and silently vanish from
+    every sink while manifests still commit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    pdf = TR.gen_pandas(500)
+    sdf = spark.createDataFrame(pdf)
+    src = str(tmp_path / "src8")
+    (
+        sdf.withColumn("cgroup", F.pmod(F.xxhash64("conv_id"), F.lit(8)))
+        .write.partitionBy("cgroup")
+        .parquet(src)
+    )
+    part = spark.read.parquet(src)
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="outside this run's n_groups=4"):
+        run_pipeline(
+            spark, part, lookups, out, n_groups=4, group_col_name="cgroup",
+            use_whois=False, use_idb=False,
+        )
+    # nothing was committed
+    assert committed_groups(out) == set()
+    # matching modulus passes the validation and runs clean
+    m = run_pipeline(
+        spark, part, lookups, out, n_groups=8, group_col_name="cgroup",
+        use_whois=False, use_idb=False,
+    )
+    assert len(m) == 8
+    assert read_sinks(spark, out).count() == 500
+
+
+def test_group_pruning_reaches_scan_without_barrier(spark, lookups, tmp_path):
+    """With enrich's extraction barrier disabled, the per-group commit
+    filter pushes all the way below enrich+parse+route to the parquet
+    scan as a PartitionFilter — real scan-level pruning, not just a
+    post-scan filter (with the default barrier the input is instead
+    touched once via the localCheckpoint cache; see write_routed doc)."""
+    from pyspark.sql import functions as F
+
+    from logboost_spark.operators.enrich import enrich
+    from logboost_spark.parsers.formats import parse_stage
+    from logboost_spark.plans.route import route_stage
+
+    pdf = TR.gen_pandas(600)
+    sdf = spark.createDataFrame(pdf)
+    src = str(tmp_path / "srcp")
+    (
+        sdf.withColumn("cgroup", F.pmod(F.xxhash64("conv_id"), F.lit(3)))
+        .write.partitionBy("cgroup")
+        .parquet(src)
+    )
+    part = spark.read.parquet(src)
+    routed = route_stage(
+        parse_stage(enrich(part, lookups, barrier=False, use_whois=False, use_idb=False))
+    )
+    plan = (
+        routed.filter(F.col("cgroup").cast("bigint") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [(cgroup" in plan, plan[:4000]

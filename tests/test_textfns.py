@@ -84,6 +84,7 @@ def test_pii_scrub_all_types(spark):
         (3, "mixed a@b.io from 8.8.8.8 phone +44 (020) 794-60958 tail"),
         (4, "nothing to redact here"),
         (5, ""),
+        (6, "dial 555-123-4567 or (555) 123-4567 or 555.123.4567 ok"),
     ]
     df = spark.createDataFrame(rows, "id bigint, text string")
     counts = pii_counts(F.col("text"))
@@ -108,3 +109,9 @@ def test_pii_scrub_all_types(spark):
     assert "<EMAIL>" in got[0].scrubbed and "@" not in got[0].scrubbed
     assert got[1].scrubbed.count("<IP>") == 3
     assert "<PHONE>" in got[2].scrubbed
+    # bare 3-3-4 formats: expectations written out INDEPENDENTLY of the
+    # pattern (not derived via re.sub), so a prefix-required regression
+    # can't hide behind oracle parity again
+    assert got[6].scrubbed == "dial <PHONE> or <PHONE> or <PHONE> ok", got[6].scrubbed
+    assert got[6].phone == 3
+    assert got[2].scrubbed == "call <PHONE> or <PHONE> now", got[2].scrubbed

@@ -34,7 +34,13 @@ def canon(df_pandas):
         if v is None or v != v:
             return "∅"
         if isinstance(v, float):
-            return f"{v:.6g}"
+            # Tag floats so an integer-valued float (e.g. DuckDB HUGEINT ->
+            # pandas float64 147709.0) can never collide with a true int
+            # (Spark bigint 147709).  The driver stringifies exactly, so a
+            # float/int type divergence IS a hash mismatch there — round 2's
+            # t_fuzzy_headers red row was hidden locally by the old
+            # untagged "{v:.6g}" formatting.
+            return f"f:{v:.6g}"
         return str(v)
 
     rows = ["\x1f".join(cell(v) for v in row) for row in df.itertuples(index=False)]

@@ -109,11 +109,12 @@ def doc_fingerprint(text: Column) -> Column:
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # Country/area prefix is OPTIONAL (\d{0,3} + optional separator):
-    # requiring it made the most common plain formats leak straight
-    # through the scrub ('555-123-4567', '(555) 123-4567',
-    # '555.123.4567'). Still RE2-safe (no lookaround/backrefs).
-    ("phone", r"\+?\d{0,3}[-. ]?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    # Country/area prefix is OPTIONAL — requiring it made the most common
+    # plain formats leak straight through the scrub ('555-123-4567',
+    # '(555) 123-4567', '555.123.4567'). Prefix and its separator form ONE
+    # optional group so a bare number can't consume the preceding space as
+    # a "separator". Still RE2-safe (no lookaround/backrefs).
+    ("phone", r"(?:\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
 ]
 
 

@@ -385,22 +385,23 @@ def near_dup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nlab"))
         )
-        new = (
+        # carry the OLD label through the update so convergence detection
+        # is a sum over the same frame — one job per round, not a second
+        # join of new-vs-old labels plus an extra pass
+        upd = (
             labels.join(nbr, labels["id"] == nbr["dst"], "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nlab"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        changed = upd.select(
+            F.sum((F.col("label") != F.col("_old")).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        labels = upd.drop("_old")
+        if not changed:
             break
     else:
         raise RuntimeError(f"near_dup_clusters did not converge in {max_iter} rounds")

@@ -49,16 +49,39 @@ _DC_FEED = "internal datacenter list"
 
 
 def ti_by_ip(ti: DataFrame) -> DataFrame:
-    """Pre-aggregate (ip, feed_name, category) rows to one row per IP.
+    """Pre-aggregate (ip, feed_name, category) rows to one row per IP,
+    with the output strings FULLY precomputed lookup-side.
 
     Mirrors CheckIPinTI's dedupe+sort (helpers/threatIntel.go:381-423,
     helpers/helpers.go:1111-1122): both lists sorted, distinct; the feed
     count is the number of distinct feeds. Done once on the tiny lookup
     side, so the fact-side join stays 1:1 (no row explosion).
+
+    Besides the plain joined strings, the datacenter-ASN variants
+    (category/feed lists with the DC entry merged in, helpers.go:448-455)
+    are also precomputed here: the fact side then just picks a string by
+    the per-row ``_is_dc`` flag instead of running
+    array_sort∘array_distinct∘concat∘array_join on EVERY row — per-row
+    output-expression work measured as the marginal cost of enrich.
     """
-    return ti.groupBy("ip").agg(
-        F.array_sort(F.collect_set("category")).alias("_ti_cats"),
-        F.array_sort(F.collect_set("feed_name")).alias("_ti_feeds"),
+    base = ti.groupBy("ip").agg(
+        F.array_sort(F.collect_set("category")).alias("_c"),
+        F.array_sort(F.collect_set("feed_name")).alias("_f"),
+    )
+    dc_c = F.array_sort(
+        F.array_distinct(F.concat(F.col("_c"), F.array(F.lit(_DC_CATEGORY))))
+    )
+    dc_f = F.array_sort(
+        F.array_distinct(F.concat(F.col("_f"), F.array(F.lit(_DC_FEED))))
+    )
+    return base.select(
+        "ip",
+        F.array_join("_c", "|").alias("_ti_cats_str"),
+        F.array_join("_f", "|").alias("_ti_feeds_str"),
+        F.size("_f").cast("string").alias("_ti_nfeeds_str"),
+        F.array_join(dc_c, "|").alias("_ti_cats_dc_str"),
+        F.array_join(dc_f, "|").alias("_ti_feeds_dc_str"),
+        F.size(dc_f).cast("string").alias("_ti_nfeeds_dc_str"),
     )
 
 
@@ -174,7 +197,9 @@ def enrich(
     if use_dns:
         dp = lookups["dns_ptr"].select(
             F.col("ip").alias("_ipk"),
-            "domains",
+            # pipe-join precomputed lookup-side (dimension rows), not per
+            # fact row
+            F.array_join("domains", "|").alias("_domains_str"),
             # TLD parse on the LOOKUP side (dimension-sized): the fact
             # table never touches Python — the pandas UDF runs once per
             # PTR record before the broadcast. (Fact-side `when` branches
@@ -223,38 +248,26 @@ def enrich(
     # --- threat intel (J3+J4+A1) -----------------------------------------
     ti_out = []
     if use_ti:
-        cats = F.when(
-            F.col("_is_dc"),
-            F.array_sort(
-                F.array_distinct(
-                    F.concat(
-                        F.coalesce(F.col("_ti_cats"), F.array().cast("array<string>")),
-                        F.array(F.lit(_DC_CATEGORY)),
-                    )
-                )
-            ),
-        ).otherwise(F.col("_ti_cats"))
-        feeds = F.when(
-            F.col("_is_dc"),
-            F.array_sort(
-                F.array_distinct(
-                    F.concat(
-                        F.coalesce(F.col("_ti_feeds"), F.array().cast("array<string>")),
-                        F.array(F.lit(_DC_FEED)),
-                    )
-                )
-            ),
-        ).otherwise(F.col("_ti_feeds"))
-        miss = feeds.isNull() | (F.size(feeds) == 0)
+        # every array op happened lookup-side in ti_by_ip; per fact row
+        # this is just a flag-picked string coalesce. Semantics preserved:
+        # dc + ti-hit → merged lists; dc + no-hit → the DC entry alone
+        # (old code's concat-with-empty path); no-dc + no-hit → none/0.
+        is_dc = F.col("_is_dc")
         ti_out = [
             _sentinel(
-                F.when(miss, F.lit("none")).otherwise(F.array_join(cats, "|"))
+                F.when(
+                    is_dc, F.coalesce(F.col("_ti_cats_dc_str"), F.lit(_DC_CATEGORY))
+                ).otherwise(F.coalesce(F.col("_ti_cats_str"), F.lit("none")))
             ).alias("lb_ThreatCategories"),
             _sentinel(
-                F.when(miss, F.lit("0")).otherwise(F.size(feeds).cast("string"))
+                F.when(
+                    is_dc, F.coalesce(F.col("_ti_nfeeds_dc_str"), F.lit("1"))
+                ).otherwise(F.coalesce(F.col("_ti_nfeeds_str"), F.lit("0")))
             ).alias("lb_ThreatFeedCount"),
             _sentinel(
-                F.when(miss, F.lit("none")).otherwise(F.array_join(feeds, "|"))
+                F.when(
+                    is_dc, F.coalesce(F.col("_ti_feeds_dc_str"), F.lit(_DC_FEED))
+                ).otherwise(F.coalesce(F.col("_ti_feeds_str"), F.lit("none")))
             ).alias("lb_ThreatFeeds"),
         ]
 
@@ -264,7 +277,7 @@ def enrich(
         df = df.withColumn("_tld", F.when(pub, F.col("_tld_lk")))
         dns_out = [
             _sentinel(
-                F.coalesce(F.array_join(F.col("domains"), "|"), F.lit("none"))
+                F.coalesce(F.col("_domains_str"), F.lit("none"))
             ).alias("lb_Domains"),
             _sentinel(F.coalesce(F.col("_tld"), F.lit("none"))).alias("lb_TLD"),
         ]

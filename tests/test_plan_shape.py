@@ -17,8 +17,10 @@ def test_enrich_all_joins_broadcast(spark, lookups):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # fact side must never shuffle
-    # geo×2 + ONE combined ip-keyed join (ti/dns/whois-ip/idb pre-joined
-    # lookup-side, also via broadcast) + whois-domain
+    # ONE merged geo range join + ONE combined ip-keyed join (ti/dns/
+    # whois-ip/idb pre-joined lookup-side, also via broadcast) +
+    # whois-domain: fact-side broadcast probes = 3; the rest are
+    # lookup-side pre-joins
     assert plan.count("BroadcastHashJoin") >= 6
 
 

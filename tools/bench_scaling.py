@@ -83,31 +83,46 @@ def run(cores: int, rows: int) -> dict:
     raise SystemExit(f"run at cores={cores} failed")
 
 
-def run_best(cores: int, rows: int) -> dict:
-    """Best of REPS fresh-JVM runs: the host has noisy-neighbor load
-    spikes (load avg swings 2x with nothing running in the VM), so a
-    single sample can be dominated by external contention. Min over
-    fresh JVMs keeps the protocol symmetric between N and 4N — both
-    pay the full serial (JVM/JIT/planning) cost each rep."""
+def run_reps(cores: int, rows: int) -> dict:
+    """REPS fresh-JVM runs; the MEDIAN is the headline (the host has
+    noisy-neighbor load spikes — load avg swings 2x with nothing running
+    in the VM — so a single sample can be dominated by external
+    contention, and min systematically favors the best-case tail). The
+    min and every raw wall are retained alongside. The protocol stays
+    symmetric between N and 4N — both pay the full serial
+    (JVM/JIT/planning) cost each rep."""
+    import statistics
+
     walls = []
     for _ in range(REPS):
         walls.append(run(cores, rows)["wall"])
         print(f"  cores={cores} rows={rows} wall={walls[-1]:.1f}", flush=True)
-    return {"cores": cores, "wall": min(walls), "walls": walls, "rows": rows}
+    return {
+        "cores": cores,
+        "wall": statistics.median(walls),
+        "wall_best": min(walls),
+        "walls": [round(w, 1) for w in walls],
+        "rows": rows,
+    }
 
 
 def pair(n: int, rows: int) -> dict:
-    a = run_best(n, rows)
-    b = run_best(4 * n, rows)
+    a = run_reps(n, rows)
+    b = run_reps(4 * n, rows)
     tp_a, tp_b = rows / a["wall"], rows / b["wall"]
     return {
         "n": n,
         "rows": rows,
         "wall_n": round(a["wall"], 2),
         "wall_4n": round(b["wall"], 2),
+        "walls_n": a["walls"],
+        "walls_4n": b["walls"],
         "tp_n": int(tp_a),
         "tp_4n": int(tp_b),
         "eff": round((tp_b / tp_a) / 4, 3),
+        "eff_best": round(((rows / b["wall_best"]) / (rows / a["wall_best"])) / 4, 3),
+        "stat": "median",
+        "reps": REPS,
     }
 
 
@@ -117,6 +132,22 @@ def main():
     p_big = pair(8, ROWS_BIG)
     print(json.dumps(p_big))
     reps = REPS
+    # machine-readable evidence; bench.py embeds this into its JSON line
+    # (labeled with its own measurement time) so the driver-visible bench
+    # carries the two-parallelism-level throughput + efficiency
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
+        json.dump(
+            {
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "protocol": "taskset-pinned fresh JVM per run, median of reps, tmpfs sinks",
+                "pair_unsaturated": p_small,
+                "pair_saturated": p_big,
+            },
+            f,
+            indent=1,
+        )
+    print("wrote", os.path.join(ROOT, "BENCH", "scaling.json"))
     md = f"""## Measured scaling (sandbox stand-in for N vs 4N executors)
 
 Same job (full parse → enrich → route → per-sink write pipeline), same
@@ -131,10 +162,11 @@ pair additionally measures single-box shared-resource contention.
 | local[2] → local[8] (unsaturated) | {p_small['rows']:,} | {p_small['wall_n']:.1f} | {p_small['wall_4n']:.1f} | {p_small['tp_n']:,} | {p_small['tp_4n']:,} | **{p_small['eff']:.3f}** |
 | local[8] → local[32] (box-saturating) | {p_big['rows']:,} | {p_big['wall_n']:.1f} | {p_big['wall_4n']:.1f} | {p_big['tp_n']:,} | {p_big['tp_4n']:,} | **{p_big['eff']:.3f}** |
 
-Target: ≥ 0.8. Each cell is the best of {reps} fresh-JVM runs (the host
-shows noisy-neighbor load spikes; min over reps rejects external
-contention while keeping the N vs 4N protocol symmetric — every rep
-pays the full JVM/JIT/planning serial cost).
+Target: ≥ 0.8. Each cell is the MEDIAN of {reps} fresh-JVM runs (the
+host shows noisy-neighbor load spikes; the median rejects outliers
+without favoring the best-case tail — all raw walls are in
+BENCH/scaling.json — and the N vs 4N protocol stays symmetric: every
+rep pays the full JVM/JIT/planning serial cost).
 
 Round-1 measured 0.753 on the unsaturated pair at 4M rows; the Amdahl
 fit T(c) = S + W/c attributed the gap to a fixed serial component
@@ -153,11 +185,14 @@ unsaturated pair is the honest analog of adding executors.
 ### Headline throughput (bench.py, 32 cores, 2M-row input)
 
 See BENCH_r*.json: end-to-end parse (11-format router + null-masked
-JSON flatten UDF) → enrich (2 range joins + 5 broadcast joins, 28 lb_*
+JSON flatten UDF) → enrich (1 merged-interval range join + combined ip-keyed broadcast + whois-domain, 28 lb_*
 columns; TLD/PSL Python runs on the lookup side only) → route (salted
 shuffle) → per-sink parquet with lineage manifests.
 """
-    path = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    # BENCH/BASELINE.md is hand-curated (adds the per-core curve and the
+    # memory-bus analysis); the raw generated table goes to scaling_latest.md
+    # for manual integration instead of clobbering it
+    path = os.path.join(ROOT, "BENCH", "scaling_latest.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(md)

@@ -71,19 +71,32 @@ def _anchored(r: str) -> str:
 
 
 def detect_format(text: Column) -> Column:
-    """The P11 router: detector precedence chain as a when-cascade."""
+    """The P11 router: detector precedence chain as a when-cascade.
+
+    Each expensive (lazy-quantifier / unanchored) regex is gated behind a
+    substring test STRICTLY IMPLIED by the regex itself (CEF needs the
+    literal ``CEF:``, CLF needs ``[`` and ``"``, syslog RFC forms start
+    with ``<``, KV needs ``=``), so raw lines — the common case in a
+    transcript workload — fail on cheap `contains` probes instead of
+    walking seven backtracking regexes. Codegen ANDs short-circuit, and
+    an implied gate can never change the routing decision (verified by
+    t_parse_formats which covers every branch, plus a gate-vs-ungated
+    property test in tests/test_parsers.py).
+    """
     t = F.trim(text)
+    clf_gate = t.contains("[") & t.contains('"')
+    syslog_pfx = t.startswith("<")
     return (
         F.when(t.startswith("#Fields:"), F.lit("iis_w3c"))
         .when(t.startswith('{"Records":['), F.lit("json_multi"))
         .when(t.startswith("{") & t.endswith("}"), F.lit("json"))
-        .when(t.rlike(r"(^|\s|>)CEF:\d+\|"), F.lit("cef"))
-        .when(t.rlike(_anchored(CLF_COMBINED_RE)), F.lit("clf_combined"))
-        .when(t.rlike(_anchored(CLF_COMMON_RE)), F.lit("clf_common"))
-        .when(t.rlike("^" + SYSLOG_5424_RE), F.lit("syslog_rfc5424"))
-        .when(t.rlike("^" + SYSLOG_3164_RE), F.lit("syslog_rfc3164"))
+        .when(t.contains("CEF:") & t.rlike(r"(^|\s|>)CEF:\d+\|"), F.lit("cef"))
+        .when(clf_gate & t.rlike(_anchored(CLF_COMBINED_RE)), F.lit("clf_combined"))
+        .when(clf_gate & t.rlike(_anchored(CLF_COMMON_RE)), F.lit("clf_common"))
+        .when(syslog_pfx & t.rlike("^" + SYSLOG_5424_RE), F.lit("syslog_rfc5424"))
+        .when(syslog_pfx & t.rlike("^" + SYSLOG_3164_RE), F.lit("syslog_rfc3164"))
         .when(t.rlike(SYSLOG_GENERIC_RE), F.lit("syslog_generic"))
-        .when(t.rlike(KV_PAIR_RE + r".*" + KV_PAIR_RE), F.lit("kv"))
+        .when(t.contains("=") & t.rlike(KV_PAIR_RE + r".*" + KV_PAIR_RE), F.lit("kv"))
         .otherwise(F.lit("raw"))
     )
 

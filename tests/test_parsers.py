@@ -188,3 +188,68 @@ def test_gzip_source_transparent(spark, tmp_path):
     plain_t = read_text(spark, str(tmp_path / "t.log")).orderBy("line").collect()
     gz_t = read_text(spark, str(tmp_path / "t.log.gz")).orderBy("line").collect()
     assert plain_t == gz_t and len(gz_t) == 2
+
+
+def test_detect_gates_equal_ungated_cascade(spark):
+    """The substring gates in detect_format are strictly implied by their
+    regexes: gated and ungated cascades must route IDENTICALLY on every
+    sample, on generator output, and on adversarial near-miss strings
+    (tabs as \\s, brackets without quotes, = without kv shape, CEF in
+    the middle, angle-bracket non-syslog)."""
+    from pyspark.sql import Column
+    from logboost_spark.parsers.formats import (
+        CLF_COMBINED_RE,
+        CLF_COMMON_RE,
+        KV_PAIR_RE,
+        SYSLOG_3164_RE,
+        SYSLOG_5424_RE,
+        SYSLOG_GENERIC_RE,
+        _anchored,
+    )
+
+    def ungated(text: Column) -> Column:
+        t = F.trim(text)
+        return (
+            F.when(t.startswith("#Fields:"), F.lit("iis_w3c"))
+            .when(t.startswith('{"Records":['), F.lit("json_multi"))
+            .when(t.startswith("{") & t.endswith("}"), F.lit("json"))
+            .when(t.rlike(r"(^|\s|>)CEF:\d+\|"), F.lit("cef"))
+            .when(t.rlike(_anchored(CLF_COMBINED_RE)), F.lit("clf_combined"))
+            .when(t.rlike(_anchored(CLF_COMMON_RE)), F.lit("clf_common"))
+            .when(t.rlike("^" + SYSLOG_5424_RE), F.lit("syslog_rfc5424"))
+            .when(t.rlike("^" + SYSLOG_3164_RE), F.lit("syslog_rfc3164"))
+            .when(t.rlike(SYSLOG_GENERIC_RE), F.lit("syslog_generic"))
+            .when(t.rlike(KV_PAIR_RE + r".*" + KV_PAIR_RE), F.lit("kv"))
+            .otherwise(F.lit("raw"))
+        )
+
+    adversarial = [
+        "1.2.3.4\t-\tu\t[10/Oct/2000:13:55:36]\t\"GET / HTTP/1.0\"\t200\t5",  # tabs as \s
+        'brackets [here] but "no clf shape',
+        "x=1",                      # single kv pair (needs two)
+        "a=b c=d",                  # kv without comma terminators
+        "midline CEF:notanumber|x",
+        "<notpri> something",
+        "< 34>1 2003-10-11T22:14:15.003Z h a - - -",
+        "{unclosed json",
+        'trailing brace only}',
+        "",
+        "   ",
+        'say "quote" and [bracket] - - "GET /i HTTP/1.0" 200 9',
+    ]
+    rows = (
+        [(v,) for v in SAMPLES.values()]
+        + [(s,) for s in adversarial]
+        + [(t,) for t in TR.gen_pandas(800)["text"].tolist()]
+    )
+    df = spark.createDataFrame(rows, "text string")
+    bad = (
+        df.select(
+            "text",
+            detect_format(F.col("text")).alias("gated"),
+            ungated(F.col("text")).alias("ungated"),
+        )
+        .filter(F.col("gated") != F.col("ungated"))
+        .collect()
+    )
+    assert not bad, [(r.text[:60], r.gated, r.ungated) for r in bad[:5]]

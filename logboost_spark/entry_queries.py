@@ -700,6 +700,39 @@ def doc_dup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
+def doc_dedup_apply(spark, sf_dir):
+    """End-to-end dedup materialization: LSH pairs → connected-component
+    clusters → drop every non-canonical member, keeping docs with no
+    near-dup untouched (broadcast anti join on the small drop-list)."""
+    from .operators.dedup import near_dup_clusters
+    from .operators.sampling import apply_dedup
+
+    docs = _t_par(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=64, bands=8, ngram=2, threshold=0.8)
+    clusters = near_dup_clusters(pairs)
+    return apply_dedup(docs, clusters).select("doc_id")
+
+
+def doc_sample_hash(spark, sf_dir):
+    """Deterministic 10% corpus sample by salted 60-bit md5 key-hash
+    bucket — reproducible across runs/engines/repartitioning, pure
+    map-side filter (no RNG, no shuffle: the 100 TB sampling shape)."""
+    from .operators.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 10.0).select("doc_id")
+
+
+def doc_split_assign(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test assignment by key-hash range;
+    membership is a pure function of doc_id so late shards of the same
+    corpus split consistently."""
+    from .operators.sampling import split_assign
+
+    return split_assign(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "split"
+    )
+
+
 def doc_simhash(spark, sf_dir):
     return simhash(_t_par(spark, sf_dir, "documents"), bits=32)
 
@@ -1152,6 +1185,34 @@ cc AS (SELECT DISTINCT src AS id, src AS lab FROM edges
        SELECT e.dst AS id, cc.lab FROM cc JOIN edges e ON e.src = cc.id)
 SELECT id AS doc_id, min(lab) AS cluster, (id = min(lab)) AS keep
 FROM cc GROUP BY id""",
+        "doc_dedup_apply": f"""
+WITH RECURSIVE d AS (SELECT doc_id, {sh2} AS sh FROM documents),
+e AS (SELECT doc_id, unnest(sh) AS tok FROM d),
+h AS (SELECT doc_id, {h} AS hv FROM e),
+sig AS (SELECT doc_id, {', '.join(mh_lsh)} FROM h GROUP BY doc_id),
+bands AS ({lsh_band_union}),
+reps AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS rep FROM bands),
+cand AS (SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM reps WHERE doc_id <> rep),
+v AS (SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b
+      WHERE len(list_intersect(da.sh, db.sh)) / len(list_distinct(list_concat(da.sh, db.sh))) >= {LSH_THR}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+          UNION SELECT doc_b, doc_a FROM v),
+cc AS (SELECT DISTINCT src AS id, src AS lab FROM edges
+       UNION
+       SELECT e.dst AS id, cc.lab FROM cc JOIN edges e ON e.src = cc.id),
+drops AS (SELECT id FROM cc GROUP BY id HAVING id <> min(lab))
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)""",
+        "doc_sample_hash": f"""
+SELECT doc_id FROM documents
+WHERE {X.sql_md5_long("'sample' || CAST(doc_id AS VARCHAR)")} % 10000 < 1000""",
+        "doc_split_assign": f"""
+WITH b AS (SELECT doc_id,
+    {X.sql_md5_long("'split' || CAST(doc_id AS VARCHAR)")} % 100 AS hb
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN hb < 98 THEN 'train' WHEN hb < 99 THEN 'val' ELSE 'test' END AS split
+FROM b""",
         "doc_simhash": f"""
 WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
 h AS (SELECT doc_id, {h} AS hv FROM toks),
@@ -1292,6 +1353,9 @@ QUERIES = {
     "doc_minhash_sigs": doc_minhash_sigs,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_dedup_apply": doc_dedup_apply,
+    "doc_sample_hash": doc_sample_hash,
+    "doc_split_assign": doc_split_assign,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "ann_topk_bruteforce": ann_topk_bruteforce,

@@ -1,0 +1,68 @@
+"""Deterministic sampling / splitting / dedup application for
+training-data pipelines.
+
+Not in the reference (LogBoost never samples) — these are dataset-prep
+staples at corpus scale. All hashing goes through the cross-engine
+60-bit md5 hash (functions/hashing.py) so the DuckDB oracle reproduces
+every decision bit-for-bit, and every operator is a pure map-side
+filter/projection: no RNG state, no shuffle, no driver round-trip —
+the only shapes that survive a 100 TB input. (`df.sample()` is
+per-partition RNG: not reproducible under repartitioning and not
+joinable back to the decision; hash-of-key sampling is both.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+
+def _key_hash(id_col: Column, salt: str, mod: int) -> Column:
+    """Deterministic bucket in [0, mod) from a salted key hash."""
+    return F.pmod(md5_long(F.concat(F.lit(salt), id_col.cast("string"))), F.lit(mod))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate_pct: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep rows whose salted key hash falls in the lowest ``rate_pct``%
+    of 10k buckets. Deterministic (same keys survive every run and every
+    engine), stable under repartitioning, and a different ``salt`` draws
+    an independent sample. Map-side filter only."""
+    return df.filter(_key_hash(F.col(id_col), salt, 10_000) < int(rate_pct * 100))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the salted key hash mod
+    the total weight picks the split. Every row lands in exactly one
+    split (ranges partition [0, total)); membership is a pure function
+    of the key, so late-arriving shards of the same corpus split
+    consistently."""
+    total = sum(w for _, w in splits)
+    h = _key_hash(F.col(id_col), salt, total)
+    expr = None
+    acc = 0
+    for name, w in splits:
+        cond = (h >= acc) & (h < acc + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        acc += w
+    return df.withColumn(out, expr)
+
+
+def apply_dedup(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduped corpus: drop every doc its near-dup
+    cluster marked ``keep=false`` (see dedup.near_dup_clusters); docs in
+    no cluster pass through untouched. The drop-list is |duplicates| ≪
+    corpus, so the anti join broadcasts."""
+    drops = clusters.filter(~F.col("keep")).select(id_col)
+    return docs.join(F.broadcast(drops), id_col, "left_anti")

@@ -733,6 +733,27 @@ def doc_split_assign(spark, sf_dir):
     )
 
 
+def doc_group_capped(spark, sf_dir):
+    """Per-language contribution cap (the web-corpus per-domain cap
+    shape): partial-agg group counts joined back, then a deterministic
+    per-key hash decision — no per-group ordering, so no hot-group
+    window; over-cap groups keep ~cap rows in expectation."""
+    from .operators.sampling import group_capped_sample
+
+    return group_capped_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", cap=30
+    ).select("doc_id", "lang")
+
+
+def doc_token_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition signals (distinct-token ratio, most-
+    common-token fraction) via explode → two-level partial aggregation —
+    linear in tokens, no O(tokens²) per-row array scan, no window."""
+    from .operators.quality import token_repetition
+
+    return token_repetition(_t_par(spark, sf_dir, "documents"))
+
+
 def doc_simhash(spark, sf_dir):
     return simhash(_t_par(spark, sf_dir, "documents"), bits=32)
 
@@ -1213,6 +1234,23 @@ WITH b AS (SELECT doc_id,
 SELECT doc_id,
   CASE WHEN hb < 98 THEN 'train' WHEN hb < 99 THEN 'val' ELSE 'test' END AS split
 FROM b""",
+        "doc_group_capped": f"""
+WITH c AS (SELECT lang, count(*) AS gn FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON c.lang = d.lang
+WHERE gn <= 30
+   OR {X.sql_md5_long("'gcap' || CAST(doc_id AS VARCHAR)")} % 1000000
+      < CAST(floor(30000000 / gn) AS BIGINT)""",
+        "doc_token_repetition": f"""
+WITH e AS (SELECT doc_id, unnest({X.sql_tokens('text', distinct=False)}) AS tok
+           FROM documents WHERE len(trim(text)) > 0),
+pt AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok),
+a AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS mx FROM pt GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+  round(COALESCE(a.nd / a.n, 0), 6) AS distinct_ratio,
+  round(COALESCE(a.mx / a.n, 0), 6) AS top_token_ratio
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""",
         "doc_simhash": f"""
 WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
 h AS (SELECT doc_id, {h} AS hv FROM toks),
@@ -1356,6 +1394,8 @@ QUERIES = {
     "doc_dedup_apply": doc_dedup_apply,
     "doc_sample_hash": doc_sample_hash,
     "doc_split_assign": doc_split_assign,
+    "doc_group_capped": doc_group_capped,
+    "doc_token_repetition": doc_token_repetition,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "ann_topk_bruteforce": ann_topk_bruteforce,

@@ -57,6 +57,36 @@ def split_assign(
     return df.withColumn(out, expr)
 
 
+def group_capped_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "gcap",
+) -> DataFrame:
+    """Cap each group's contribution at ~``cap`` rows (per-domain /
+    per-language caps in web corpora), deterministically.
+
+    Scale shape: per-group counts via partial-agg groupBy, broadcast-or-
+    shuffle joined back, then each row keeps iff its key hash falls in
+    the lowest cap/count fraction of the space — a map-side decision.
+    Groups at-or-under the cap pass through whole (no hashing jitter);
+    over-cap groups keep cap rows IN EXPECTATION (binomial jitter ~√cap:
+    the price of having no per-group ordering — an exact top-k-by-hash
+    needs a per-group sort, which is precisely the hot-group pattern
+    this avoids). Deterministic per key: reruns and late shards agree.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    joined = df.join(counts, group_col)
+    h = _key_hash(F.col(id_col), salt, 1_000_000)
+    # floor of IEEE double division — bit-identical in the DuckDB oracle
+    # (a plain bigint cast would round there and truncate here)
+    keep = (F.col("_gn") <= cap) | (
+        h < F.floor(F.lit(cap * 1_000_000) / F.col("_gn"))
+    )
+    return joined.filter(keep).drop("_gn")
+
+
 def apply_dedup(
     docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -55,3 +55,51 @@ def test_apply_dedup_drops_only_nonkeep(spark):
     # plan: broadcast anti join, no shuffle of the corpus
     plan = apply_dedup(docs, clusters)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_group_capped_sample(spark):
+    from logboost_spark.operators.sampling import group_capped_sample
+
+    rows = [(i, "big") for i in range(1000)] + [(1000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    out = group_capped_sample(df, "grp", "doc_id", cap=50).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.grp, set()).add(r.doc_id)
+    # under-cap group passes through WHOLE (no hash jitter)
+    assert by["small"] == {1000 + i for i in range(20)}
+    # over-cap group lands near the cap (binomial jitter ~ sqrt(cap))
+    assert 25 <= len(by["big"]) <= 80, len(by["big"])
+    # deterministic
+    again = {r.doc_id for r in group_capped_sample(df, "grp", "doc_id", cap=50).collect()}
+    assert again == {r.doc_id for r in out}
+
+
+def test_token_repetition_vs_python_oracle(spark):
+    from collections import Counter
+
+    from logboost_spark.operators.quality import token_repetition
+
+    rows = [
+        (0, "spam spam spam spam ham"),
+        (1, "all tokens here are unique"),
+        (2, "  "),
+        (3, "a"),
+        (4, "x y x y x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in token_repetition(df).collect()}
+    for i, text in rows:
+        toks = text.strip().lower().split()
+        c = Counter(toks)
+        n = sum(c.values())
+        r = got[i]
+        assert r.n_tokens == n, (i, r)
+        if n:
+            assert abs(r.distinct_ratio - len(c) / n) < 1e-6
+            assert abs(r.top_token_ratio - max(c.values()) / n) < 1e-6
+        else:
+            assert r.distinct_ratio == 0.0 and r.top_token_ratio == 0.0
+    # the spam doc is flagged by both signals relative to the unique doc
+    assert got[0].top_token_ratio > got[1].top_token_ratio
+    assert got[0].distinct_ratio < got[1].distinct_ratio

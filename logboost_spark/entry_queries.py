@@ -754,6 +754,15 @@ def doc_token_repetition(spark, sf_dir):
     return token_repetition(_t_par(spark, sf_dir, "documents"))
 
 
+def doc_vocab_topk(spark, sf_dir):
+    """Corpus top-20 tokens (vocab/BPE prep): map-side-combined counts
+    + TakeOrderedAndProject (per-partition k-heap, driver merge) —
+    never a global sort of the vocabulary."""
+    from .operators.quality import vocab_topk
+
+    return vocab_topk(_t_par(spark, sf_dir, "documents"), k=20)
+
+
 def doc_simhash(spark, sf_dir):
     return simhash(_t_par(spark, sf_dir, "documents"), bits=32)
 
@@ -1251,6 +1260,12 @@ SELECT d.doc_id,
   round(COALESCE(a.nd / a.n, 0), 6) AS distinct_ratio,
   round(COALESCE(a.mx / a.n, 0), 6) AS top_token_ratio
 FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""",
+        "doc_vocab_topk": f"""
+WITH e AS (SELECT unnest({X.sql_tokens('text', distinct=False)}) AS token
+           FROM documents WHERE len(trim(text)) > 0),
+c AS (SELECT token, count(*) AS cnt FROM e GROUP BY token)
+SELECT token, CAST(cnt AS BIGINT) AS cnt FROM c
+ORDER BY cnt DESC, token ASC LIMIT 20""",
         "doc_simhash": f"""
 WITH toks AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
 h AS (SELECT doc_id, {h} AS hv FROM toks),
@@ -1396,6 +1411,7 @@ QUERIES = {
     "doc_split_assign": doc_split_assign,
     "doc_group_capped": doc_group_capped,
     "doc_token_repetition": doc_token_repetition,
+    "doc_vocab_topk": doc_vocab_topk,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "ann_topk_bruteforce": ann_topk_bruteforce,

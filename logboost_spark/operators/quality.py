@@ -50,3 +50,26 @@ def token_repetition(
             F.coalesce(F.col("_mx") / F.col("n_tokens"), F.lit(0.0)), 6
         ).alias("top_token_ratio"),
     )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k tokens by frequency (vocab/BPE prep), ties
+    broken by token asc for determinism.
+
+    orderBy(...).limit(k) plans as TakeOrderedAndProject: each partition
+    keeps a k-element heap and the driver merges k·partitions rows — no
+    global sort of the (possibly billions-distinct) vocabulary ever
+    happens. Counts combine map-side in the groupBy first.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    e = docs.select(
+        F.explode(
+            F.when(F.length(F.trim(F.col(text_col))) > 0, toks).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("token")
+    )
+    counts = e.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)

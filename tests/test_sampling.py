@@ -103,3 +103,16 @@ def test_token_repetition_vs_python_oracle(spark):
     # the spam doc is flagged by both signals relative to the unique doc
     assert got[0].top_token_ratio > got[1].top_token_ratio
     assert got[0].distinct_ratio < got[1].distinct_ratio
+
+
+def test_vocab_topk_plan_and_values(spark):
+    from logboost_spark.operators.quality import vocab_topk
+
+    rows = [(0, "a a a b b c"), (1, "b c d"), (2, "a e")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = vocab_topk(df, k=3)
+    got = [(r.token, r.cnt) for r in out.collect()]
+    assert got == [("a", 4), ("b", 3), ("c", 2)]
+    # scale shape: per-partition k-heap merge, NOT a global sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

@@ -22,7 +22,10 @@ def test_combine_files_sourcefile(spark, tmp_path):
     spark.createDataFrame([(2, "y")], "id bigint, b string").write.parquet(p2)
     out = combine_files(spark, [p1, p2])
     assert SOURCE_FILE_COL in out.columns
-    assert out.filter(F.col(SOURCE_FILE_COL).contains("f1")).count() == 1
+    # match the DIRECTORY component — a bare contains("f1") can collide
+    # with the random hex UUID in the other file's part-file name
+    assert out.filter(F.col(SOURCE_FILE_COL).contains("/f1/")).count() == 1
+    assert out.filter(F.col(SOURCE_FILE_COL).contains("/f2/")).count() == 1
 
 
 def test_fuzzy_resolve(spark):

@@ -51,3 +51,30 @@ def test_minhash_no_cartesian(spark):
     docs = spark.createDataFrame([(i, f"tok{i} common words") for i in range(20)], "doc_id bigint, text string")
     plan = _plan(minhash_lsh_pairs(docs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_prewrite_has_no_fact_shuffle(spark, lookups):
+    """The enrich→parse→route chain must reach the write stage without a
+    single fact-side Exchange: every lookup is broadcast, parse/route are
+    narrow maps — the salted repartition before the sink is the ONLY wide
+    shuffle in the whole pipeline (BroadcastExchange of dimension tables
+    is allowed; hash/range exchanges of the fact table are not)."""
+    from logboost_spark.fixtures.transcripts import fixture_path
+    from logboost_spark.parsers.formats import parse_stage
+    from logboost_spark.plans.route import route_stage
+
+    import re
+
+    tr = spark.read.parquet(fixture_path("sf0.001"))
+    routed = route_stage(parse_stage(enrich(tr, lookups)))
+    plan = _plan(routed)
+    # hash exchanges may appear only on LOOKUP keys (_ipk/ip: the
+    # dimension pre-joins inside the broadcast build — dimension-sized,
+    # once per broadcast); never on a fact column
+    for m in re.finditer(r"Exchange hashpartitioning\(([A-Za-z_]+)", plan):
+        assert m.group(1) in {"_ipk", "ip"}, m.group(0)
+    assert "Exchange rangepartitioning" not in plan, plan[:3000]
+    assert not re.search(
+        r"Exchange hashpartitioning\((conv_id|turn_idx|text|sink|ts|role|tool)", plan
+    )
+    assert "BroadcastExchange" in plan  # the lookups DO broadcast

@@ -754,6 +754,29 @@ def doc_token_repetition(spark, sf_dir):
     return token_repetition(_t_par(spark, sf_dir, "documents"))
 
 
+def emb_normalize_quant(spark, sf_dir):
+    """Embedding ingest prep: L2 normalization (turns downstream cosine
+    into plain dot) + per-vector max-abs int8 quantization (4× memory/IO
+    for the ANN index; exact re-rank keeps the float column). Emitted as
+    per-vector scalars (norm, unit-norm check, int8 checksum/absmax) so
+    the cross-engine hash compares scalars, not array stringifications."""
+    from .operators.similarity import l2_normalize, norm, quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    u = l2_normalize(F.col("embedding"))
+    q = quantize_int8(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(norm(d), 5).alias("l2_norm"),
+        F.round(
+            F.aggregate(u, F.lit(0.0).cast("double"), lambda a, x: a + x * x), 5
+        ).alias("unit_sq"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max(F.transform(q, F.abs)).alias("q_absmax"),
+    )
+
+
 def doc_vocab_topk(spark, sf_dir):
     """Corpus top-20 tokens (vocab/BPE prep): map-side-combined counts
     + TakeOrderedAndProject (per-partition k-heap, driver merge) —
@@ -1260,6 +1283,22 @@ SELECT d.doc_id,
   round(COALESCE(a.nd / a.n, 0), 6) AS distinct_ratio,
   round(COALESCE(a.mx / a.n, 0), 6) AS top_token_ratio
 FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""",
+        "emb_normalize_quant": """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+      FROM d),
+n AS (SELECT vec_id, nrm,
+        list_transform(v, x -> x / nrm) AS u,
+        list_transform(v, x -> CAST(round(x / (mx / 127.0)) AS INT)) AS q
+      FROM m)
+SELECT vec_id,
+  round(nrm, 5) AS l2_norm,
+  round(list_aggregate(list_transform(u, x -> x*x), 'sum'), 5) AS unit_sq,
+  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+  CAST(list_aggregate(list_transform(q, x -> abs(x)), 'max') AS INT) AS q_absmax
+FROM n""",
         "doc_vocab_topk": f"""
 WITH e AS (SELECT unnest({X.sql_tokens('text', distinct=False)}) AS token
            FROM documents WHERE len(trim(text)) > 0),
@@ -1412,6 +1451,7 @@ QUERIES = {
     "doc_group_capped": doc_group_capped,
     "doc_token_repetition": doc_token_repetition,
     "doc_vocab_topk": doc_vocab_topk,
+    "emb_normalize_quant": emb_normalize_quant,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "ann_topk_bruteforce": ann_topk_bruteforce,

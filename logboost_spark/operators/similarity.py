@@ -337,3 +337,25 @@ def cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"))
     )
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize a vector column (double math; null-safe: a
+    zero-norm vector normalizes to nulls rather than Inf). Normalizing
+    once at ingest turns every downstream cosine into a plain dot
+    product — at 100 TB that halves the per-pair FLOPs of the verify
+    stages."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(d, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+    return F.when(n > 0, F.transform(d, lambda x: x / n))
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Per-vector max-abs int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) ∈ [-127, 127]. 4× smaller than float32 —
+    the standard ANN memory/IO trade; exact re-rank stays on the
+    float column. Zero vectors quantize to nulls (no scale)."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(d, F.abs))
+    scale = mx / F.lit(127.0)
+    return F.when(mx > 0, F.transform(d, lambda x: F.round(x / scale).cast("int")))

@@ -162,3 +162,38 @@ def test_near_dup_lsh_recall_on_fixture(spark):
     }
     assert approx <= exact  # verify stage: no false positives
     assert len(approx) / len(exact) >= 0.85
+
+
+def test_l2_normalize_and_quantize(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from logboost_spark.operators.similarity import l2_normalize, quantize_int8
+
+    rows = [
+        (0, [3.0, 4.0]),
+        (1, [0.0, 0.0]),          # zero vector -> null (not Inf/NaN)
+        (2, [-1.0, 2.0, -2.0]),
+        (3, [0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            l2_normalize(F.col("embedding")).alias("u"),
+            quantize_int8(F.col("embedding")).alias("q"),
+        ).collect()
+    }
+    assert [round(x, 6) for x in got[0].u] == [0.6, 0.8]
+    assert got[1].u is None and got[1].q is None
+    n2 = math.sqrt(1 + 4 + 4)
+    assert [round(x, 6) for x in got[2].u] == [round(v / n2, 6) for v in (-1, 2, -2)]
+    # quantization: max-abs element maps to ±127, signs preserved
+    assert got[0].q == [round(3 / 4 * 127), 127]
+    assert got[2].q == [round(1 / 2 * 127) * -1, 127, -127]
+    assert got[3].q == [127]
+    # unit norm holds after normalization
+    for vid in (0, 2, 3):
+        assert abs(sum(x * x for x in got[vid].u) - 1.0) < 1e-9

@@ -609,6 +609,29 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+def events_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity date, counted
+    distinct per (cohort, day-offset). Scale shape: the first-event
+    reduction and the final (cohort, offset) count are both map-side
+    partial aggregations; the only other move is one co-keyed join back
+    on user_id (AQE-skew-splittable) — no windows, no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    j = ev.join(first, "user_id")
+    return (
+        j.select(
+            "user_id",
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("users"))
+        # cohort as ISO string: DuckDB DATE arrives in pandas as
+        # datetime64 and would hash-mismatch the python date
+        .withColumn("cohort", F.col("cohort").cast("string"))
+    )
+
+
 # ===========================================================================
 # Documents: dedup + text analysis
 # ===========================================================================
@@ -1283,6 +1306,13 @@ SELECT d.doc_id,
   round(COALESCE(a.nd / a.n, 0), 6) AS distinct_ratio,
   round(COALESCE(a.mx / a.n, 0), 6) AS top_token_ratio
 FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""",
+        "events_retention": """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id)
+SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+  CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+FROM events e JOIN f ON f.user_id = e.user_id
+GROUP BY 1, 2""",
         "emb_normalize_quant": """
 WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 m AS (SELECT vec_id, v,
@@ -1433,6 +1463,7 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_date_filter": events_date_filter,
     "events_sessionize": events_sessionize,
+    "events_retention": events_retention,
     "ti_build_ingest": ti_build_ingest,
     "ti_category_counts_q": ti_category_counts_q,
     "ti_summary_q": ti_summary_q,

@@ -632,6 +632,46 @@ def events_retention(spark, sf_dir):
     )
 
 
+def events_funnel(spark, sf_dir):
+    """Strict ordered-step funnel view → click → purchase: a user
+    converts step k only via an event AFTER their step-(k-1) time
+    (min-ts of qualifying events). Scale shape: each step is one
+    partial-agg reduction over a co-keyed join on user_id — the join
+    keys repeat so the shuffles line up, AQE handles user skew, and
+    there are no windows (a per-user ordered scan would serialize hot
+    users). Emits one row per funnel step with distinct-user counts."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit(1).alias("step"), F.lit("view").alias("event_type"),
+               F.count(F.lit(1)).alias("users")),
+        s2.agg(F.lit(2).alias("step"), F.lit("click").alias("event_type"),
+               F.count(F.lit(1)).alias("users")),
+        s3.agg(F.lit(3).alias("step"), F.lit("purchase").alias("event_type"),
+               F.count(F.lit(1)).alias("users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 # ===========================================================================
 # Documents: dedup + text analysis
 # ===========================================================================
@@ -1306,6 +1346,17 @@ SELECT d.doc_id,
   round(COALESCE(a.nd / a.n, 0), 6) AS distinct_ratio,
   round(COALESCE(a.mx / a.n, 0), 6) AS top_token_ratio
 FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""",
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type='view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type='click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type='purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS event_type, CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""",
         "events_retention": """
 WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id)
 SELECT CAST(f.cohort AS VARCHAR) AS cohort,
@@ -1464,6 +1515,7 @@ QUERIES = {
     "events_date_filter": events_date_filter,
     "events_sessionize": events_sessionize,
     "events_retention": events_retention,
+    "events_funnel": events_funnel,
     "ti_build_ingest": ti_build_ingest,
     "ti_category_counts_q": ti_category_counts_q,
     "ti_summary_q": ti_summary_q,

@@ -116,3 +116,40 @@ def test_vocab_topk_plan_and_values(spark):
     # scale shape: per-partition k-heap merge, NOT a global sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_events_funnel_strict_ordering(spark):
+    """Strict funnel: step k counts only users whose step-k event is AT
+    OR AFTER their step-(k-1) min-time."""
+    import datetime as dt
+
+    from logboost_spark.entry_queries import events_funnel
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: full ordered path
+        (1, t(0), 1, "view", 0.0, "{}"),
+        (2, t(1), 1, "click", 0.0, "{}"),
+        (3, t(2), 1, "purchase", 0.0, "{}"),
+        # u2: clicked BEFORE viewing, purchase after nothing -> stops at view
+        (4, t(5), 2, "click", 0.0, "{}"),
+        (5, t(6), 2, "view", 0.0, "{}"),
+        # u3: view + purchase but no click -> stops at view
+        (6, t(0), 3, "view", 0.0, "{}"),
+        (7, t(9), 3, "purchase", 0.0, "{}"),
+        # u4: never viewed -> not even step 1
+        (8, t(0), 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.step: r.users for r in events_funnel(spark, d).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}, got

@@ -42,21 +42,41 @@ def combine_files(spark, paths: list[str], fmt: str = "parquet", **options) -> D
 
 def combine_master(dfs: list[DataFrame]) -> DataFrame:
     """Reference combine semantics (helpers/helpers.go:765-847): the FIRST
-    frame's header is the master; later frames are projected onto it via
-    fuzzy name resolution (quote-strip equality, else substring —
-    helpers.go:921-930), unresolved master columns become null, and
-    columns absent from the master header are DROPPED. ``combine`` is the
-    keep-everything variant (unionByName)."""
+    frame's header is the master; later frames are projected onto it by
+    mapping each SECONDARY header into the master list
+    (compareHeaders→FindTargetIndexInSlice, helpers.go:988-996/921-930:
+    quote-stripped MASTER name equals or CONTAINS the secondary name,
+    first master match wins). resortRecord (helpers.go:1000-1009) writes
+    secondary values into a zero-valued record in secondary order, so
+    when two secondary columns land on the same master slot the LAST one
+    wins, and unmatched master slots keep Go's zero value "" (empty
+    string, not NULL). Secondary columns that match nothing are DROPPED.
+    ``combine`` is the keep-everything variant (unionByName)."""
+    from pyspark.sql.types import StringType
+
     master = dfs[0].columns
+    mtypes = {f.name: f.dataType for f in dfs[0].schema.fields}
     out = [dfs[0]]
     for df in dfs[1:]:
+        slot: dict[int, str] = {}
+        for sec in df.columns:
+            for j, m in enumerate(master):
+                clean = m.replace('"', "")
+                if clean == sec or sec in clean:
+                    slot[j] = sec  # last secondary write wins per master slot
+                    break  # first master match wins per secondary column
         cols = []
-        for target in master:
-            src = fuzzy_resolve(df, target)
-            cols.append(
-                F.col(f"`{src}`").alias(target) if src is not None
-                else F.lit(None).cast("string").alias(target)
-            )
+        for j, target in enumerate(master):
+            dt = mtypes[target]
+            if j in slot:
+                cols.append(F.col(f"`{slot[j]}`").cast(dt).alias(target))
+            elif isinstance(dt, StringType):
+                cols.append(F.lit("").alias(target))
+            else:
+                # "" is not expressible in a non-string master column; typed
+                # NULL preserves the first frame's schema (the reference is
+                # all-CSV-strings, so this branch has no Go analog).
+                cols.append(F.lit(None).cast(dt).alias(target))
         out.append(df.select(*cols))
     return reduce(lambda a, b: a.unionByName(b), out)
 

@@ -35,6 +35,36 @@ def test_fuzzy_resolve(spark):
     assert fuzzy_resolve(df, "missing") is None
 
 
+def test_combine_master_reference_direction(spark):
+    """Pins helpers.go:988-996/921-930 semantics: each SECONDARY header maps
+    into the master list when the quote-stripped MASTER name equals or
+    CONTAINS it; first master match wins per secondary; later secondary
+    columns overwrite earlier ones on the same master slot (resortRecord
+    last-write, helpers.go:1000-1009); unmatched master slots get Go's
+    zero value "" for strings / typed NULL for non-strings; secondary
+    columns with no master match are dropped."""
+    from logboost_spark.operators.combine import combine_master
+
+    master = spark.createDataFrame(
+        [(1, "m1", "s1", 10)], "id bigint, message_text_full string, source string, score bigint"
+    )
+    sec = spark.createDataFrame(
+        # 'message_text' and 'message' BOTH map to master 'message_text_full'
+        # (master contains each) — the later secondary column must win.
+        # 'severity' matches no master name — dropped.
+        [(2, "from_mt", "from_m", "high")],
+        "id bigint, message_text string, message string, severity string",
+    )
+    out = combine_master([master, sec])
+    assert out.columns == ["id", "message_text_full", "source", "score"]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].message_text_full == "m1"
+    assert rows[2].message_text_full == "from_m"  # last write wins
+    assert rows[2].source == ""  # Go zero value, not NULL
+    assert rows[2].score is None  # non-string master slot → typed NULL
+    assert out.schema["score"].dataType.typeName() == "long"
+
+
 def test_multimodal_features(spark):
     media = gen_media_fixture(spark, 30)
     feats = extract_features(media).collect()

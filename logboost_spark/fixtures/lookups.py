@@ -264,9 +264,26 @@ def build_lookup_dfs(spark):
             ]
         ),
     )
+    # The merged disjoint ASN+City interval table is itself a deterministic
+    # table build — computed here in pure Python from the SAME row
+    # generators (no DataFrame .collect() round-trip; at real GeoLite2
+    # size this is an offline fixture build, see tools/build_fixtures.py).
+    from ..operators.geo_join import flatten_intervals, merge_disjoint_interval_tables
+
+    geo_merged = spark.createDataFrame(
+        merge_disjoint_interval_tables(
+            flatten_intervals(geo_asn_rows()),
+            flatten_intervals(geo_city_rows()),
+            n_a=2,
+            n_b=2,
+        ),
+        "net_start bigint, net_end bigint, asn_org string, "
+        "asn_number bigint, country string, city string",
+    )
     return {
         "geo_asn": geo_asn,
         "geo_city": geo_city,
+        "geo_merged": geo_merged,
         "ti": ti,
         "dc_asn": dc_asn,
         "dns_ptr": dns_ptr,

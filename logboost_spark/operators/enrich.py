@@ -122,17 +122,36 @@ def enrich(
         df = df.localCheckpoint(eager=False)
 
     # --- geo (J1/J2): ONE prefix-bucketed broadcast range join ----------
-    # geo_asn + geo_city are outer-merged driver-side into a single
-    # disjoint interval table (segments carry asn attrs, city attrs, or
-    # both), so the fact table is range-joined — and its rows re-copied —
-    # once instead of twice. Row-for-row identical to two sequential left
-    # joins (merge_disjoint_interval_tables docstring). Cached in the
-    # lookups dict: the merge collects two dimension tables once, not per
-    # enrich() call.
-    if "_geo_merged" not in lookups:
-        a_rows = flatten_intervals([tuple(r) for r in lookups["geo_asn"].collect()])
-        b_rows = flatten_intervals([tuple(r) for r in lookups["geo_city"].collect()])
-        lookups["_geo_merged"] = df.sparkSession.createDataFrame(
+    # geo_asn + geo_city are outer-merged into a single disjoint interval
+    # table (segments carry asn attrs, city attrs, or both), so the fact
+    # table is range-joined — and its rows re-copied — once instead of
+    # twice. Row-for-row identical to two sequential left joins
+    # (merge_disjoint_interval_tables docstring). The merged table is a
+    # PRECOMPUTED lookup (`geo_merged`, built offline with the other
+    # dimension fixtures — build_lookup_dfs / tools/build_fixtures.py):
+    # a full GeoLite2-City table is ~3M intervals, so merging it through
+    # the driver per session would be minutes of serial time. The
+    # fallback below exists only for callers that hand-roll a lookups
+    # dict; it selects attrs BY NAME (column order must not matter) and
+    # caches per-dict (single-session assumption, like every lookup DF).
+    if "geo_merged" not in lookups:
+        a_rows = flatten_intervals(
+            [
+                tuple(r)
+                for r in lookups["geo_asn"]
+                .select("net_start", "net_end", "asn_org", "asn_number")
+                .collect()
+            ]
+        )
+        b_rows = flatten_intervals(
+            [
+                tuple(r)
+                for r in lookups["geo_city"]
+                .select("net_start", "net_end", "country", "city")
+                .collect()
+            ]
+        )
+        lookups["geo_merged"] = df.sparkSession.createDataFrame(
             merge_disjoint_interval_tables(a_rows, b_rows, n_a=2, n_b=2),
             "net_start bigint, net_end bigint, asn_org string, "
             "asn_number bigint, country string, city string",
@@ -140,7 +159,7 @@ def enrich(
     df = range_lookup_join(
         df,
         F.col("_join_v4"),
-        lookups["_geo_merged"],
+        lookups["geo_merged"],
         ["asn_org", "asn_number", "country", "city"],
         prefix="_g_",
     )

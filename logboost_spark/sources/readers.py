@@ -102,18 +102,28 @@ def read_log_directory(spark, input_dir: str, getall: bool = False) -> DataFrame
     (conv_id, turn_idx, ts, role, tool, text).
 
     The reference's per-file model (one goroutine set and one output per
-    input file, main.go:487) maps to: conv_id = the file's basename (so
-    per-sink outputs keep file provenance and the salted route shuffle
-    spreads big files), turn_idx = the row's sequence inside its file.
-    CSV files go through the LazyQuotes reader and each row becomes a
-    JSON text blob (IP/indicator extraction scans it like any text);
-    .log/.txt are line sources. Gzip handled transparently.
+    input file, main.go:487) maps to: conv_id = the file's path RELATIVE
+    to ``input_dir`` (unique per input file — the reference keys every
+    output on the full path, so two ``a.log`` in different subdirs, or
+    ``a.log`` beside ``a.log.gz``, must stay distinct conversations),
+    turn_idx = the row's sequence inside its file. CSV files go through
+    the LazyQuotes reader and each row becomes a JSON text blob
+    (IP/indicator extraction scans it like any text); .log/.txt are line
+    sources. Gzip handled transparently.
 
-    Scale note: per-file sequence numbers need a per-file window — hot
-    only if a single FILE dominates the input, which mirrors the
-    reference's own per-file serialization; the north-star table path
-    (parquet/Iceberg transcripts) never uses this reader.
+    Scale: per-file sequencing is computed per SPLIT, not per file — a
+    window over (file, ``_metadata.file_block_start``) numbers rows
+    inside each ~128 MB split in parallel, and a tiny per-split count
+    aggregate (one row per split) provides the running offset that is
+    broadcast-joined back. A single 100 GB text file therefore fans out
+    across ~800 tasks instead of serializing into one. Row order inside
+    a split is the file order Spark's line reader delivers, so
+    offset + within-split rank reproduces the exact per-file sequence.
+    (Gzip members are unsplittable → single split, same result.)
     """
+    import os
+    import re
+
     from pyspark.sql import Window
 
     from ..semantics import SOURCE_FILE_COL
@@ -135,22 +145,50 @@ def read_log_directory(spark, input_dir: str, getall: bool = False) -> DataFrame
         frames.append(
             c.select(
                 F.col(SOURCE_FILE_COL),
+                # multiLine CSV parses whole-file (never split) → block 0
+                F.lit(0).cast("long").alias("_blk"),
                 F.to_json(F.struct(*data_cols)).alias("text"),
             )
         )
     others = [p for p in paths if not is_csv(p)]
     if others:
-        t = spark.read.text(others).withColumn(SOURCE_FILE_COL, F.input_file_name())
-        frames.append(t.select(F.col(SOURCE_FILE_COL), F.col("value").alias("text")))
+        t = spark.read.text(others).select(
+            F.input_file_name().alias(SOURCE_FILE_COL),
+            F.col("_metadata.file_block_start").alias("_blk"),
+            F.col("value").alias("text"),
+        )
+        frames.append(t)
 
     from ..operators.combine import combine
 
     df = combine(frames)
-    conv = F.regexp_extract(F.col(SOURCE_FILE_COL), r"([^/]+?)(?:\.gz)?$", 1)
-    w = Window.partitionBy(SOURCE_FILE_COL).orderBy(F.monotonically_increasing_id())
+    # conv_id: strip everything through the normalized input dir (the
+    # SOURCE_FILE_COL is a file: URI whose path component contains it)
+    prefix = re.escape(os.path.abspath(input_dir).rstrip("/") + "/")
+    conv = F.regexp_replace(F.col(SOURCE_FILE_COL), f"^.*{prefix}", "")
+    w_split = Window.partitionBy(SOURCE_FILE_COL, "_blk").orderBy(
+        F.monotonically_increasing_id()
+    )
+    df = df.withColumn("_i", F.row_number().over(w_split) - 1)
+    # running row-offset per split: one row per (file, split) — tiny
+    w_off = (
+        Window.partitionBy(SOURCE_FILE_COL)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        df.groupBy(SOURCE_FILE_COL, "_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            SOURCE_FILE_COL,
+            "_blk",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    df = df.join(F.broadcast(offs), [SOURCE_FILE_COL, "_blk"])
     return df.select(
         conv.alias("conv_id"),
-        (F.row_number().over(w) - 1).alias("turn_idx"),
+        (F.col("_off") + F.col("_i")).cast("int").alias("turn_idx"),
         F.lit(None).cast("timestamp").alias("ts"),
         F.lit("log").alias("role"),
         F.lit("none").alias("tool"),

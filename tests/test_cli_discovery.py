@@ -49,7 +49,8 @@ def test_read_log_directory_shape(spark, logdir):
     by_conv = {}
     for r in rows:
         by_conv.setdefault(r.conv_id, []).append(r)
-    assert set(by_conv) == {"a.csv", "b.log", "c.txt", "d.txt"}
+    # conv_id is the path RELATIVE to the input dir (unique per file)
+    assert set(by_conv) == {"a.csv", "sub/b.log", "c.txt", "d.txt.gz"}
     # per-file sequence: contiguous from 0
     for conv, rs in by_conv.items():
         assert sorted(r.turn_idx for r in rs) == list(range(len(rs))), conv
@@ -57,8 +58,59 @@ def test_read_log_directory_shape(spark, logdir):
     a_texts = [r.text for r in by_conv["a.csv"]]
     assert any('"ip":"8.8.8.8"' in t and '"action":"allow"' in t for t in a_texts)
     # gz read transparently
-    assert any("203.0.113.9" in r.text for r in by_conv["d.txt"])
+    assert any("203.0.113.9" in r.text for r in by_conv["d.txt.gz"])
     assert all(r.role == "log" and r.tool == "none" for r in rows)
+
+
+def test_read_log_directory_basename_collision(spark, tmp_path):
+    """Two files with the same basename in different subdirs (and a .log
+    beside its .gz twin) must stay distinct conversations with their own
+    contiguous turn_idx — the reference processes each file by full path."""
+    import gzip
+
+    d = tmp_path / "logs"
+    (d / "x").mkdir(parents=True)
+    (d / "y").mkdir()
+    (d / "x" / "a.log").write_text("x one\nx two\n")
+    (d / "y" / "a.log").write_text("y one\ny two\ny three\n")
+    (d / "b.log").write_text("plain\n")
+    with gzip.open(d / "b.log.gz", "wt") as f:
+        f.write("gzipped\n")
+    df = read_log_directory(spark, str(d))
+    rows = df.collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    assert set(by_conv) == {"x/a.log", "y/a.log", "b.log", "b.log.gz"}
+    assert sorted(r.turn_idx for r in by_conv["x/a.log"]) == [0, 1]
+    assert sorted(r.turn_idx for r in by_conv["y/a.log"]) == [0, 1, 2]
+    # no duplicate (conv_id, turn_idx) pairs anywhere
+    pairs = [(r.conv_id, r.turn_idx) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_read_log_directory_dominant_file_multisplit(spark, tmp_path):
+    """One file dominating the input must fan out across several splits
+    (per-split window + offset join), while (conv_id, turn_idx, text)
+    stays identical to file line order."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    n = 5000
+    lines = [f"line {i:06d} payload {'x' * 40}" for i in range(n)]
+    (d / "big.log").write_text("\n".join(lines) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024))
+        # prove the conf actually splits the file into multiple tasks
+        assert spark.read.text(str(d / "big.log")).rdd.getNumPartitions() > 4
+        df = read_log_directory(spark, str(d))
+        rows = df.orderBy("turn_idx").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(rows) == n
+    assert [r.turn_idx for r in rows] == list(range(n))
+    # exact per-file sequence: offset + within-split rank == line number
+    assert [r.text for r in rows] == lines
 
 
 def test_cli_logs_mode_e2e(spark, logdir, tmp_path, capsys):

@@ -54,6 +54,29 @@ write(
         "city": [r[3] for r in gc],
     },
 )
+# The merged disjoint ASN+City interval table (the ONE range-join side the
+# engine uses, enrich.py J1/J2) is itself an offline deterministic build:
+# at real GeoLite2 size (~3M intervals) this runs here once, never in the
+# per-session driver.
+from logboost_spark.operators.geo_join import (  # noqa: E402
+    flatten_intervals,
+    merge_disjoint_interval_tables,
+)
+
+gm = merge_disjoint_interval_tables(
+    flatten_intervals(ga), flatten_intervals(gc), n_a=2, n_b=2
+)
+write(
+    "geo_merged",
+    {
+        "net_start": [r[0] for r in gm],
+        "net_end": [r[1] for r in gm],
+        "asn_org": [r[2] for r in gm],
+        "asn_number": [r[3] for r in gm],
+        "country": [r[4] for r in gm],
+        "city": [r[5] for r in gm],
+    },
+)
 ti = L.ti_rows()
 write(
     "ti",

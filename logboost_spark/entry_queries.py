@@ -1379,8 +1379,13 @@ m AS (SELECT vec_id, v,
         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
       FROM d),
 n AS (SELECT vec_id, nrm,
-        list_transform(v, x -> x / nrm) AS u,
-        list_transform(v, x -> CAST(round(x / (mx / 127.0)) AS INT)) AS q
+        -- zero-vector guards mirror Spark's when(nrm/mx > 0) → NULL
+        -- (unguarded division would yield NaN/Inf here, a latent
+        -- cross-engine hash mismatch)
+        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS u,
+        CASE WHEN mx > 0
+             THEN list_transform(v, x -> CAST(round(x / (mx / 127.0)) AS INT))
+        END AS q
       FROM m)
 SELECT vec_id,
   round(nrm, 5) AS l2_norm,

@@ -167,14 +167,41 @@ def sampled_codebook(parquet_path: str, n_cells: int,
     smallest ids (the standard k-means init; measured recall@10 = 0.92
     at nprobe=4/16 on the driver fixture — sampling beats both random
     directions and further Lloyd rounds on unclustered data). Read
-    driver-side with pyarrow (tiny, deterministic) so the SAME float64
-    literals feed both the Spark plan and the DuckDB oracle."""
+    driver-side with pyarrow so the SAME float64 literals feed both the
+    Spark plan and the DuckDB oracle.
+
+    Driver memory is BOUNDED: the file is streamed batch-by-batch
+    (never materialized whole) keeping only an n_cells-sized heap of the
+    smallest ids, plus row groups whose id-stats can't beat the current
+    heap max are skipped entirely — a production-size embedding table
+    costs O(n_cells + batch) RAM here, not O(table)."""
+    import heapq
+
     import pyarrow.parquet as pq
 
-    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
-    rows = sorted(zip(t[id_col].to_pylist(), t[vec_col].to_pylist()))[:n_cells]
-    if len(rows) < n_cells:
+    pf = pq.ParquetFile(parquet_path)
+    best: list[tuple] = []  # max-heap on negated id → heap[0] is largest kept id
+    id_idx = pf.schema_arrow.get_field_index(id_col)
+    for rg in range(pf.metadata.num_row_groups):
+        stats = pf.metadata.row_group(rg).column(id_idx).statistics
+        if (
+            len(best) == n_cells
+            and stats is not None
+            and stats.has_min_max
+            and stats.min > -best[0][0]
+        ):
+            continue  # every id in this row group loses to the kept set
+        for batch in pf.iter_batches(
+            batch_size=8192, row_groups=[rg], columns=[id_col, vec_col]
+        ):
+            for i, v in zip(batch[0].to_pylist(), batch[1].to_pylist()):
+                if len(best) < n_cells:
+                    heapq.heappush(best, (-i, v))
+                elif i < -best[0][0]:
+                    heapq.heapreplace(best, (-i, v))
+    if len(best) < n_cells:
         raise ValueError(f"{parquet_path}: fewer than {n_cells} vectors")
+    rows = sorted((-ni, v) for ni, v in best)
     return [[float(x) for x in v] for _, v in rows]
 
 

@@ -68,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="source partition column holding pmod(xxhash64(conv_id), --groups) "
         "(Iceberg bucket layout) — enables per-group partition PRUNING at the scan",
     )
+    p.add_argument(
+        "--intelfile",
+        default=None,
+        help="local text file of custom indicators to merge into the TI "
+        "table before enrichment (reference -intelfile, main.go:516-545; "
+        "requires --intelname and --inteltype)",
+    )
+    p.add_argument("--intelname", default=None, help="feed name/tag for --intelfile")
+    p.add_argument("--inteltype", default=None, help="category label for --intelfile")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--combine", action="store_true", help="write combined union of all sinks")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (tests only)")
@@ -94,6 +103,23 @@ def main(argv: list[str] | None = None) -> int:
             transcripts, args.datecol, args.dateformat, args.startdate, args.enddate
         )
     lookups = build_lookup_dfs(spark)
+    intel_flags = [args.intelfile, args.intelname, args.inteltype]
+    if any(intel_flags):
+        if not all(intel_flags):
+            # reference main.go:107-108: the three flags travel together
+            print("Must use --intelfile, --intelname and --inteltype together",
+                  file=sys.stderr)
+            return 2
+        from logboost_spark.operators.ti_build import ingest_intel_lines
+
+        custom = ingest_intel_lines(
+            spark.read.text(args.intelfile).withColumnRenamed("value", "line"),
+            args.intelname,
+            args.inteltype,
+        )
+        lookups["ti"] = lookups["ti"].unionByName(custom).dropDuplicates(
+            ["ip", "feed_name", "category"]
+        )
     manifests = run_pipeline(
         spark,
         transcripts,

@@ -113,6 +113,39 @@ def test_read_log_directory_dominant_file_multisplit(spark, tmp_path):
     assert [r.text for r in rows] == lines
 
 
+def test_cli_intelfile_ingest_e2e(spark, logdir, tmp_path, capsys):
+    """Reference -intelfile/-intelname/-inteltype (main.go:516-545): a
+    local indicator file merges into the TI table before enrichment, so
+    a matching row routes to the threat sink with the custom feed name
+    in lb_ThreatFeeds."""
+    import main as M
+    from logboost_spark.plans.checkpoint import read_sinks
+
+    intel = tmp_path / "custom_intel.txt"
+    # d.txt.gz contains 203.0.113.9 (TEST-NET-3, not in the fixture feeds);
+    # comment/blank/private lines must be skipped on ingest
+    intel.write_text("# custom feed\n\n203.0.113.9\n10.9.9.9\n")
+    out = str(tmp_path / "sinks")
+    rc = M.main([
+        "--input", logdir, "--input-format", "logs",
+        "--output", out, "--groups", "2",
+        "--no-whois", "--no-idb",
+        "--intelfile", str(intel), "--intelname", "customfeed",
+        "--inteltype", "suspicious",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = read_sinks(spark, out).filter("text like '%203.0.113.9%'").collect()
+    assert rows, "indicator row must appear in a sink"
+    assert any("customfeed" in (r.lb_ThreatFeeds or "") for r in rows)
+    assert res["sink_counts"]["threat"] >= 1
+    # flags must travel together (reference main.go:107-108)
+    assert M.main([
+        "--input", logdir, "--input-format", "logs", "--output", out,
+        "--intelfile", str(intel),
+    ]) == 2
+
+
 def test_cli_logs_mode_e2e(spark, logdir, tmp_path, capsys):
     import main as M
 

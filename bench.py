@@ -116,6 +116,7 @@ def main():
         "doc_minhash_lsh",
         "doc_simhash",
         "ann_topk_bruteforce",
+        "doc_bpe_token_count",
     ]:
         fn = Q.QUERIES[name]
         runs = []

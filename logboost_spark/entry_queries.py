@@ -700,6 +700,22 @@ def doc_token_counts(spark, sf_dir):
     )
 
 
+def doc_bpe_token_count(spark, sf_dir):
+    """REAL learned-BPE token counts (merge table trained offline by
+    tools/train_bpe.py, fixtures/bpe_vocab.py): the tokenizer is a
+    whole-stage-codegen'd chain of literal replaces — zero Python in the
+    hot path — and the DuckDB oracle replays the identical chain, so
+    this is an exact cross-engine tokenizer, not a proxy."""
+    from .functions.textfns import bpe_token_count
+
+    d = _t_par(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        bpe_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+
+
 def doc_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     f = quality_features(F.col("text"))
@@ -923,6 +939,28 @@ def emb_near_dups_lsh(spark, sf_dir):
 # ===========================================================================
 # Oracle SQL
 # ===========================================================================
+
+
+def _bpe_token_count_sql() -> str:
+    """The learned-BPE tokenizer as a DuckDB replace() chain — the exact
+    SQL mirror of functions.textfns.bpe_encode (same merge fixture).
+    Staged through CTEs of ≤64 merges each: DuckDB's binder caps
+    expression recursion at 128 frames."""
+    from .fixtures.bpe_vocab import MERGES
+
+    ctes, prev, i = [], "documents", 0
+    for lo in range(0, len(MERGES), 64):
+        e = "text" if lo == 0 else "t"
+        for a, b, n in MERGES[lo : lo + 64]:
+            pair = (a + b).replace("'", "''")
+            new = n.replace("'", "''")
+            e = f"replace({e}, '{pair}', '{new}')"
+        ctes.append(f"b{i} AS (SELECT doc_id, n_chars, {e} AS t FROM {prev})")
+        prev, i = f"b{i}", i + 1
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, n_chars, CAST(length(t) AS BIGINT) AS n_tokens FROM {prev}"
+    )
 
 
 def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
@@ -1242,6 +1280,7 @@ SELECT doc_id,
        ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
   len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS bpe_tokens
 FROM documents""",
+        "doc_bpe_token_count": _bpe_token_count_sql(),
         "doc_quality": f"""
 WITH q AS (
   SELECT doc_id, trim(text) AS t,
@@ -1512,6 +1551,8 @@ QUERIES = {
     "doc_vocab_topk": doc_vocab_topk,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
+    # new round-4 gate — also inside the driver window
+    "doc_bpe_token_count": doc_bpe_token_count,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------
     "t_ip_extract": t_ip_extract,
     "t_class_counts": t_class_counts,

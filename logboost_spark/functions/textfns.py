@@ -36,6 +36,29 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+def bpe_encode(text: Column) -> Column:
+    """REAL learned-BPE encoding (merge table trained offline by
+    tools/train_bpe.py — Gage 1994 / Sennrich 2016). Each learned token
+    is one private-use-area char, so applying the merge list in rank
+    order as literal string replacements IS the tokenizer: the whole
+    thing stays a JVM-side ``replace`` chain (whole-stage codegen, no
+    Python, no UDF) and the DuckDB oracle replays the identical chain.
+    Every char of the result is one token; characters outside the
+    training alphabet pass through as single-char tokens."""
+    from ..fixtures.bpe_vocab import MERGES
+
+    c = text
+    for a, b, n in MERGES:
+        c = F.replace(c, F.lit(a + b), F.lit(n))
+    return c
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the learned BPE vocabulary = length of the
+    encoded symbol string (one char per token)."""
+    return F.length(bpe_encode(text))
+
+
 def _marker_hits(text: Column, words: list[str]) -> Column:
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     arr = F.array(*[F.lit(w) for w in words])

@@ -1,0 +1,64 @@
+"""Learned-BPE tokenizer (fixtures/bpe_vocab.py via tools/train_bpe.py):
+the replace-chain encoder must agree with a pure-Python replay, survive
+edge inputs, and be losslessly decodable through TOKEN_SURFACE."""
+
+from pyspark.sql import functions as F
+
+from logboost_spark.fixtures.bpe_vocab import MERGES, N_MERGES, TOKEN_SURFACE
+from logboost_spark.functions.textfns import bpe_encode, bpe_token_count
+
+
+def py_encode(s: str) -> str:
+    for a, b, n in MERGES:
+        s = s.replace(a + b, n)
+    return s
+
+
+def decode(s: str) -> str:
+    return "".join(TOKEN_SURFACE.get(c, c) for c in s)
+
+
+def test_vocab_shape():
+    assert N_MERGES == len(MERGES) > 0
+    news = [n for _, _, n in MERGES]
+    # each merged token is a distinct single private-use-area char
+    assert len(set(news)) == len(news)
+    assert all(len(n) == 1 and 0xE000 <= ord(n) < 0xF8FF for n in news)
+    # surface strings expand recursively (no dangling symbols)
+    for n in news:
+        assert all(ord(c) < 0xE000 for c in TOKEN_SURFACE[n]), n
+
+
+def test_spark_matches_python_and_decodes(spark):
+    texts = [
+        "the customer table joins the orders table",  # in-vocab text
+        "",  # empty → 0 tokens
+        "   ",
+        "ZZZ@@@ unseen čhärs 北京",  # outside training alphabet
+        "scan scan scan scan",  # repetition
+        "a",  # single char
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    rows = df.select(
+        "i", "t",
+        bpe_encode(F.col("t")).alias("enc"),
+        bpe_token_count(F.col("t")).alias("n"),
+    ).collect()
+    for r in rows:
+        want = py_encode(texts[r.i])
+        assert r.enc == want, texts[r.i]
+        assert r.n == len(want)
+        # lossless: expanding every symbol reproduces the input exactly
+        assert decode(r.enc) == texts[r.i]
+
+
+def test_compression_on_documents(spark):
+    """The learned vocab must actually compress in-domain text (>2x) and
+    never exceed one token per char on any input."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    agg = d.select(
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(bpe_token_count(F.col("text"))).alias("toks"),
+    ).collect()[0]
+    assert agg.toks <= agg.chars
+    assert agg.chars / agg.toks > 2.0

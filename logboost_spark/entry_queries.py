@@ -864,6 +864,32 @@ def emb_normalize_quant(spark, sf_dir):
     )
 
 
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style n-gram
+    collision): every 50th doc plays the eval set; corpus docs sharing
+    any word 3-gram with it are flagged with their distinct collision
+    count. Production uses n=8-13; the fixture's tiny-vocab word salad
+    needs n=3 to exercise real overlap. Benchmark shingles broadcast;
+    the per-doc agg is the only corpus shuffle."""
+    from .operators.dedup import decontaminate
+
+    d = _t_par(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+def doc_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing over the learned-BPE token counts:
+    deterministic hash order → running token total → bin every 2048
+    tokens. No global window — range-sorted partitions + broadcast
+    per-partition offsets (the split-offset pattern)."""
+    from .operators.sampling import pack_sequences
+
+    d = doc_bpe_token_count(spark, sf_dir).select("doc_id", "n_tokens")
+    return pack_sequences(d, budget=2048)
+
+
 def doc_vocab_topk(spark, sf_dir):
     """Corpus top-20 tokens (vocab/BPE prep): map-side-combined counts
     + TakeOrderedAndProject (per-partition k-heap, driver merge) —
@@ -941,11 +967,13 @@ def emb_near_dups_lsh(spark, sf_dir):
 # ===========================================================================
 
 
-def _bpe_token_count_sql() -> str:
+def _bpe_ctes() -> tuple[str, str]:
     """The learned-BPE tokenizer as a DuckDB replace() chain — the exact
     SQL mirror of functions.textfns.bpe_encode (same merge fixture).
     Staged through CTEs of ≤64 merges each: DuckDB's binder caps
-    expression recursion at 128 frames."""
+    expression recursion at 128 frames. Returns (cte_block, last_name);
+    the last CTE yields (doc_id, n_chars, t) with every char of ``t``
+    one BPE token."""
     from .fixtures.bpe_vocab import MERGES
 
     ctes, prev, i = [], "documents", 0
@@ -957,10 +985,35 @@ def _bpe_token_count_sql() -> str:
             e = f"replace({e}, '{pair}', '{new}')"
         ctes.append(f"b{i} AS (SELECT doc_id, n_chars, {e} AS t FROM {prev})")
         prev, i = f"b{i}", i + 1
+    return ",\n".join(ctes), prev
+
+
+def _bpe_token_count_sql() -> str:
+    ctes, last = _bpe_ctes()
     return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT doc_id, n_chars, CAST(length(t) AS BIGINT) AS n_tokens FROM {prev}"
+        f"WITH {ctes}\n"
+        f"SELECT doc_id, n_chars, CAST(length(t) AS BIGINT) AS n_tokens FROM {last}"
     )
+
+
+def _pack_sequences_sql(budget: int = 2048) -> str:
+    """Oracle mirror of operators.sampling.pack_sequences over the BPE
+    token counts: same md5 key order, same running-sum bin cut. The
+    integer `//`/`%` here exactly matches Spark's
+    (cum - pmod(cum, budget))/budget construction (exact-multiple
+    division) and md5_long is non-negative so % == pmod."""
+    ctes, last = _bpe_ctes()
+    kk = X.sql_md5_long("'pack' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH {ctes},
+tok AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens FROM {last}),
+k AS (SELECT doc_id, n_tokens, {kk} % 1000000000 AS kk FROM tok),
+c AS (SELECT doc_id, n_tokens,
+  COALESCE(SUM(n_tokens) OVER (ORDER BY kk, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM k)
+SELECT doc_id, n_tokens,
+  CAST(cb // {budget} AS BIGINT) AS bin_id,
+  CAST(cb % {budget} AS BIGINT) AS offset_in_bin
+FROM c"""
 
 
 def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
@@ -1281,6 +1334,17 @@ SELECT doc_id,
   len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS bpe_tokens
 FROM documents""",
         "doc_bpe_token_count": _bpe_token_count_sql(),
+        "doc_decontaminate": f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({X.sql_shingles('text', 3)}) AS _g
+  FROM documents WHERE doc_id % 50 = 0),
+corp AS (
+  SELECT doc_id, unnest({X.sql_shingles('text', 3)}) AS _g
+  FROM documents WHERE doc_id % 50 <> 0),
+h AS (SELECT corp.doc_id, corp._g FROM corp JOIN bench USING (_g))
+SELECT doc_id, count(*) AS hit_shingles, min(_g) AS example_shingle
+FROM h GROUP BY doc_id""",
+        "doc_pack_sequences": _pack_sequences_sql(),
         "doc_quality": f"""
 WITH q AS (
   SELECT doc_id, trim(text) AS t,
@@ -1551,8 +1615,10 @@ QUERIES = {
     "doc_vocab_topk": doc_vocab_topk,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
-    # new round-4 gate — also inside the driver window
+    # new round-4 gates — also inside the driver window
     "doc_bpe_token_count": doc_bpe_token_count,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_pack_sequences": doc_pack_sequences,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------
     "t_ip_extract": t_ip_extract,
     "t_class_counts": t_class_counts,

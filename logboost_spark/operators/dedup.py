@@ -273,6 +273,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ANY word
+    n-gram with an evaluation/benchmark set — the standard pretraining
+    decontamination pass (GPT-3 appendix C / Dodge et al. 2021 use
+    8-13-gram collision; tests use smaller n because the fixture corpus
+    is a tiny-vocab word salad).
+
+    Returns one row per CONTAMINATED corpus doc: (id, hit_shingles =
+    distinct colliding n-grams, example_shingle = lexicographically
+    first collision for triage). Anti-join the result to drop them.
+
+    Scale shape: the benchmark's distinct shingle set is tiny relative
+    to a web corpus (eval suites ≈ 10^5-10^7 shingles, MBs) and is
+    BROADCAST; the corpus side explodes shingles map-side and the
+    broadcast semi-ish inner join + partial-agg per-doc count leaves the
+    per-doc groupBy as the only corpus shuffle. Pass
+    ``broadcast_benchmark=False`` for an oversized benchmark — AQE picks
+    a shuffle join and skew-splits hot shingles.
+    """
+    bs = (
+        with_shingles(benchmark, text_col, n, out="_sh")
+        .select(F.explode("_sh").alias("_g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bs = F.broadcast(bs)
+    cs = with_shingles(corpus, text_col, n, out="_sh").select(
+        F.col(id_col), F.explode("_sh").alias("_g")
+    )
+    return (
+        cs.join(bs, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("hit_shingles"),
+            F.min("_g").alias("example_shingle"),
+        )
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.45,

@@ -87,6 +87,71 @@ def group_capped_sample(
     return joined.filter(keep).drop("_gn")
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Contiguous token-budget packing for pretraining batches: shuffle
+    documents into a deterministic hash order (the "global shuffle" of a
+    training pipeline), take the running token total over that order,
+    and cut a bin every ``budget`` tokens. Output per doc: bin_id +
+    offset_in_bin. A doc may straddle a boundary — bins overflow by at
+    most one document (streaming packing; exact first-fit-decreasing is
+    inherently sequential, and boundary docs are chunked downstream).
+
+    Scale shape: NO global window. The order is a range-partitioned sort
+    on (key_hash, id); the cumulative sum is a bounded per-partition
+    window plus a broadcast-joined running offset from the per-partition
+    totals (one row per partition) — the same split-offset pattern as
+    the log reader. The result depends only on the global ORDER and the
+    running sum, both independent of where range boundaries land, so
+    reruns and the DuckDB oracle agree bit-for-bit.
+
+    bin_id is computed as (cum_before - cum_before % budget) / budget:
+    the numerator is an exact multiple of budget, so the double division
+    is exact for any corpus small enough to count tokens in 2^53 —
+    a plain floor(cum/budget) would misassign boundary docs at ~10^15
+    cumulative tokens.
+    """
+    from pyspark.sql import Window
+
+    key = F.pmod(
+        md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(1_000_000_000),
+    )
+    d = docs.select(
+        F.col(id_col), F.col(token_col).cast("bigint").alias("_tok")
+    ).withColumn("_key", key)
+    parts = n_parts or d.sparkSession.sparkContext.defaultParallelism
+    d = d.repartitionByRange(parts, "_key", id_col).sortWithinPartitions(
+        "_key", id_col
+    )
+    d = d.withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy("_pid").orderBy("_key", id_col)
+    d = d.withColumn("_cum_in", F.sum("_tok").over(w_in))  # inclusive
+    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        d.groupBy("_pid")
+        .agg(F.sum("_tok").alias("_pn"))
+        .select(
+            "_pid", F.coalesce(F.sum("_pn").over(w_p), F.lit(0)).alias("_poff")
+        )
+    )
+    d = d.join(F.broadcast(offs), "_pid")
+    cum_before = F.col("_poff") + F.col("_cum_in") - F.col("_tok")
+    off = F.pmod(cum_before, F.lit(budget))
+    return d.select(
+        id_col,
+        F.col("_tok").alias(token_col),
+        ((cum_before - off) / F.lit(budget)).cast("bigint").alias("bin_id"),
+        off.cast("bigint").alias("offset_in_bin"),
+    )
+
+
 def apply_dedup(
     docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

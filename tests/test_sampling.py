@@ -153,3 +153,84 @@ def test_events_funnel_strict_ordering(spark):
     df.write.mode("overwrite").parquet(f"{d}/events.parquet")
     got = {r.step: r.users for r in events_funnel(spark, d).collect()}
     assert got == {1: 3, 2: 1, 3: 1}, got
+
+
+def test_pack_sequences_invariants_and_partition_invariance(spark):
+    """Packing must (a) conserve the token total, (b) keep offsets in
+    [0, budget), (c) produce consecutive bins each fed >= budget tokens
+    before the next opens (streaming packing), and (d) be IDENTICAL
+    regardless of partition count — the per-partition cumsum + offset
+    join must reproduce the single global order."""
+    from logboost_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 50 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    budget = 1000
+    out1 = pack_sequences(df, budget, n_parts=1).collect()
+    out8 = pack_sequences(df, budget, n_parts=8).collect()
+    as_map = lambda rs: {r.doc_id: (r.bin_id, r.offset_in_bin) for r in rs}
+    assert as_map(out1) == as_map(out8)  # partition-count invariant
+    assert all(0 <= r.offset_in_bin < budget for r in out8)
+    total = sum(n for _, n in rows)
+    # reconstruct the stream: offset equals running-total % budget in key order
+    by_pos = sorted(out8, key=lambda r: (r.bin_id, r.offset_in_bin))
+    cum = 0
+    for r in by_pos:
+        assert r.bin_id == cum // budget
+        assert r.offset_in_bin == cum % budget
+        cum += r.n_tokens
+    assert cum == total
+
+
+def test_pack_sequences_oversized_doc(spark):
+    """A doc longer than the budget owns the boundary it lands on; the
+    next doc starts in a later bin (no infinite loop, no drop)."""
+    from logboost_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000), (3, 100)], "doc_id bigint, n_tokens bigint"
+    )
+    out = pack_sequences(df, 1000).collect()
+    assert len(out) == 3
+    assert sum(r.n_tokens for r in out) == 5200
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    """Docs sharing an n-gram with the benchmark are flagged with the
+    distinct collision count; clean docs are absent; the flagged set
+    anti-joins away."""
+    from logboost_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a quick brown fox appeared"),        # shares 'quick brown fox'
+            (2, "totally unrelated words here now"),  # clean
+            (3, "the quick brown fox jumps again"),   # shares 2 trigrams + more
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].hit_shingles == 1
+    assert out[1].example_shingle == "quick brown fox"
+    assert out[3].hit_shingles >= 2
+    clean = corpus.join(
+        decontaminate(corpus, bench, n=3).select("doc_id"), "doc_id", "left_anti"
+    )
+    assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_decontaminate_plan_is_broadcast(spark):
+    """The benchmark side must broadcast (no corpus-side shuffle before
+    the per-doc agg)."""
+    from logboost_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    corpus = spark.createDataFrame([(2, "a b c d e")], "doc_id bigint, text string")
+    plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -151,13 +151,20 @@ def write_routed(
         t0 = time.time()
         target = os.path.join(out_dir, "data", f"group={g}")
         sub.write.partitionBy("sink").mode("overwrite").parquet(target)
+        try:
+            metrics = dict(obs.get.items())
+        except Exception:
+            # an all-empty group: AQE collapses the plan to a zero-task
+            # LocalTableScan, the observe node never fires, and
+            # Observation.get asserts — zero counts IS the right manifest
+            metrics = {"rows": 0, **{f"rows_{s}": 0 for s in SINKS}}
         entry = {
             "group": g,
             "n_groups": n_groups,
             "salt_buckets": salt_buckets,
             "path": target,
             "wall_sec": round(time.time() - t0, 3),
-            **{k: v for k, v in obs.get.items()},
+            **metrics,
         }
         # manifest write is the commit point — crash before this line
         # leaves the group uncommitted and it is redone (overwrite) on resume

@@ -49,6 +49,7 @@ def run_pipeline(
     n_groups: int = 8,
     partitions_per_group: int | None = None,
     do_parse: bool = True,
+    raw_fallthrough: bool = True,
     stage_barrier: bool = False,
     group_col_name: str | None = None,
     **enrich_flags,
@@ -73,6 +74,11 @@ def run_pipeline(
     df = enrich(df, lookups, **enrich_flags)
     if do_parse:
         df = parse_stage(df)
+        if not raw_fallthrough:
+            # reference main.go:442: content with no recognized parser is
+            # processed as raw ONLY under -getall/-rawtxt; otherwise it is
+            # skipped (per-file there, per-line in this engine's model)
+            df = df.filter(F.col("format") != "raw")
     routed = route_stage(df)
     if stage_barrier:
         routed = routed.localCheckpoint(eager=False)

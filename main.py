@@ -47,7 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--getall",
         action="store_true",
         help="with --input-format logs: take EVERY discovered file "
-        "regardless of extension (reference -getall)",
+        "regardless of extension AND process unrecognized content as raw "
+        "(reference -getall)",
+    )
+    p.add_argument(
+        "--rawtxt",
+        action="store_true",
+        help="with --input-format logs: keep extension-filtered discovery "
+        "but process content with no recognized format as a raw line "
+        "(reference -rawtxt, main.go:43,442); without this or --getall, "
+        "unrecognized content is skipped",
     )
     p.add_argument("--output", required=True, help="sink root directory")
     p.add_argument("--startdate", default=None)
@@ -129,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
         n_groups=args.groups,
         group_col_name=args.group_col,
         do_parse=not args.no_parse,
+        raw_fallthrough=(
+            args.input_format != "logs" or args.getall or args.rawtxt
+        ),
         use_ti=not args.no_ti,
         use_dns=not args.no_dns,
         use_whois=not args.no_whois,

@@ -127,7 +127,7 @@ def test_cli_intelfile_ingest_e2e(spark, logdir, tmp_path, capsys):
     intel.write_text("# custom feed\n\n203.0.113.9\n10.9.9.9\n")
     out = str(tmp_path / "sinks")
     rc = M.main([
-        "--input", logdir, "--input-format", "logs",
+        "--input", logdir, "--input-format", "logs", "--rawtxt",
         "--output", out, "--groups", "2",
         "--no-whois", "--no-idb",
         "--intelfile", str(intel), "--intelname", "customfeed",
@@ -151,7 +151,7 @@ def test_cli_logs_mode_e2e(spark, logdir, tmp_path, capsys):
 
     out = str(tmp_path / "sinks")
     rc = M.main([
-        "--input", logdir, "--input-format", "logs",
+        "--input", logdir, "--input-format", "logs", "--rawtxt",
         "--output", out, "--groups", "2",
         "--no-whois", "--no-idb",
     ])
@@ -163,3 +163,16 @@ def test_cli_logs_mode_e2e(spark, logdir, tmp_path, capsys):
     # 10.0.0.5 and 192.168.0.9 rows route internal; no-IP lines to noip
     assert res["sink_counts"]["internal"] == 2
     assert res["sink_counts"]["noip"] == 4
+    # WITHOUT --rawtxt/--getall (reference default, main.go:442):
+    # unrecognized raw content is skipped — only the CSV-derived JSON
+    # rows survive the parse stage
+    out2 = str(tmp_path / "sinks_norawtxt")
+    rc = M.main([
+        "--input", logdir, "--input-format", "logs",
+        "--output", out2, "--groups", "2",
+        "--no-whois", "--no-idb",
+    ])
+    assert rc == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(res2["sink_counts"].values()) == 3  # a.csv rows only
+    assert res2["sink_counts"]["internal"] == 1  # 10.0.0.5

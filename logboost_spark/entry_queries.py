@@ -890,6 +890,18 @@ def doc_pack_sequences(spark, sf_dir):
     return pack_sequences(d, budget=2048)
 
 
+def doc_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking of each doc's BPE token span (stride =
+    budget - overlap; last window capped at n). budget=16/overlap=4 here
+    so the ~50-token fixture docs actually produce multi-chunk output;
+    production budgets (2-8k) change only the literals. Map-side only —
+    no shuffle in the plan."""
+    from .operators.sampling import chunk_documents
+
+    d = doc_bpe_token_count(spark, sf_dir).select("doc_id", "n_tokens")
+    return chunk_documents(d, budget=16, overlap=4)
+
+
 def doc_vocab_topk(spark, sf_dir):
     """Corpus top-20 tokens (vocab/BPE prep): map-side-combined counts
     + TakeOrderedAndProject (per-partition k-heap, driver merge) —
@@ -1014,6 +1026,24 @@ SELECT doc_id, n_tokens,
   CAST(cb // {budget} AS BIGINT) AS bin_id,
   CAST(cb % {budget} AS BIGINT) AS offset_in_bin
 FROM c"""
+
+
+def _chunk_windows_sql(budget: int = 16, overlap: int = 4) -> str:
+    """Oracle mirror of operators.sampling.chunk_documents over the BPE
+    token counts (same integer div/ceil arithmetic)."""
+    stride = budget - overlap
+    ctes, last = _bpe_ctes()
+    return f"""WITH {ctes},
+tok AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens FROM {last}
+        WHERE length(t) > 0),
+k AS (SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens <= {budget} THEN 0
+       ELSE (n_tokens - {budget} + {stride - 1}) // {stride} END AS kmax
+  FROM tok)
+SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
+  CAST(u * {stride} AS BIGINT) AS start_tok,
+  CAST(LEAST(u * {stride} + {budget}, n_tokens) AS BIGINT) AS end_tok
+FROM k, unnest(range(0, kmax + 1)) t(u)"""
 
 
 def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
@@ -1345,6 +1375,7 @@ h AS (SELECT corp.doc_id, corp._g FROM corp JOIN bench USING (_g))
 SELECT doc_id, count(*) AS hit_shingles, min(_g) AS example_shingle
 FROM h GROUP BY doc_id""",
         "doc_pack_sequences": _pack_sequences_sql(),
+        "doc_chunk_windows": _chunk_windows_sql(),
         "doc_quality": f"""
 WITH q AS (
   SELECT doc_id, trim(text) AS t,
@@ -1619,6 +1650,7 @@ QUERIES = {
     "doc_bpe_token_count": doc_bpe_token_count,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_chunk_windows": doc_chunk_windows,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------
     "t_ip_extract": t_ip_extract,
     "t_class_counts": t_class_counts,

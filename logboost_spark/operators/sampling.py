@@ -152,6 +152,44 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    budget: int,
+    overlap: int = 0,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each doc's token span [0, n) into
+    windows of ``budget`` tokens advancing by stride = budget - overlap
+    (context-window prep for long docs; the boundary-straddling docs of
+    ``pack_sequences`` are the natural input). The last window is the
+    first one whose end reaches n, so every token is covered and a doc
+    never emits a fully-redundant tail window. Zero-token docs emit no
+    chunks.
+
+    Pure map-side sequence+explode — NO shuffle at any scale. Chunk
+    count uses integer ``div`` (exact in both engines; a floor of
+    double division would misassign at extreme token counts).
+    """
+    stride = budget - overlap
+    if stride <= 0:
+        raise ValueError(f"overlap {overlap} must be < budget {budget}")
+    n = F.col(token_col)
+    kmax = F.when(n <= budget, F.lit(0)).otherwise(
+        F.expr(f"({token_col} - {budget} + {stride - 1}) div {stride}")
+    )
+    d = docs.filter(n > 0).withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), kmax))
+    )
+    start = F.col("chunk_idx") * stride
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        F.least(start + budget, n).cast("bigint").alias("end_tok"),
+    )
+
+
 def apply_dedup(
     docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

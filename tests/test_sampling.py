@@ -234,3 +234,32 @@ def test_decontaminate_plan_is_broadcast(spark):
     plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_coverage_and_stride(spark):
+    """Windows advance by budget-overlap, cover every token, cap the
+    last end at n, and never emit a fully-redundant tail; zero-token
+    docs emit nothing; the plan has no shuffle."""
+    from logboost_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 16), (3, 17), (4, 40), (5, 0)],
+        "doc_id bigint, n_tokens bigint",
+    )
+    out = chunk_documents(df, budget=16, overlap=4)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    assert by_doc[1] == [(0, 10)]
+    assert by_doc[2] == [(0, 16)]        # exactly budget -> one window
+    assert by_doc[3] == [(0, 16), (12, 17)]
+    # n=40: starts 0,12,24; window [24,40) reaches n -> stop
+    assert by_doc[4] == [(0, 16), (12, 28), (24, 40)]
+    assert 5 not in by_doc
+    for spans in by_doc.values():
+        assert spans[-1][1] == max(e for _, e in spans)  # last window reaches n
+        for (s1, _), (s2, _) in zip(spans, spans[1:]):
+            assert s2 - s1 == 12  # stride
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side

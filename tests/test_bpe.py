@@ -62,3 +62,24 @@ def test_compression_on_documents(spark):
     ).collect()[0]
     assert agg.toks <= agg.chars
     assert agg.chars / agg.toks > 2.0
+
+
+def test_bpe_decode_roundtrip_property():
+    """Property (pure Python, no Spark): encode→decode is lossless for
+    ARBITRARY text, including chars outside the training alphabet and
+    adversarial near-vocab strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # exclude the PUA token space itself (reserved; the trainer asserts
+    # the corpus never contains it) and lone surrogates
+    chars = st.characters(
+        blacklist_categories=("Cs",), blacklist_characters=[chr(c) for c in range(0xE000, 0xE000 + 256)]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=chars, max_size=200))
+    def check(s):
+        assert decode(py_encode(s)) == s
+
+    check()

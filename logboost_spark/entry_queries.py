@@ -125,6 +125,33 @@ def t_route_counts(spark, sf_dir):
     )
 
 
+def t_stream_pipeline(spark, sf_dir):
+    """Structured Streaming drain of the SAME pipeline
+    (plans/streaming.py): readStream over the transcript fixture →
+    stateless enrich (broadcast joins are streaming-legal unchanged) →
+    routed parquet sinks with a write-ahead checkpoint → read back →
+    per-sink counts. trigger(availableNow) processes every present file
+    exactly once, so the result matches the BATCH oracle (same SQL as
+    t_route_counts) — a capability the batch-only reference lacks."""
+    import tempfile
+
+    from .plans.streaming import stream_pipeline
+
+    out = tempfile.mkdtemp(prefix="lb_stream_gate_")
+    stream_pipeline(
+        spark,
+        fixture_path(sf_from_dir(sf_dir)),
+        build_lookup_dfs(spark),
+        out,
+        do_parse=False,
+    )
+    return (
+        spark.read.parquet(os.path.join(out, "data"))
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def t_pipeline_full(spark, sf_dir):
     """Flagship: per-turn enrichment row set (13 columns × every turn)."""
     return (
@@ -1115,6 +1142,9 @@ FROM routed WHERE lb_class='pub' GROUP BY 1,2,3""",
         "t_route_counts": enr
         + """
 SELECT sink, count(*) AS cnt FROM routed GROUP BY sink""",
+        "t_stream_pipeline": enr
+        + """
+SELECT sink, count(*) AS cnt FROM routed GROUP BY sink""",
         "t_pipeline_full": enr
         + """
 SELECT conv_id, turn_idx, lb_IP, lb_ASN, lb_ASN_Number, lb_Country, lb_City,
@@ -1651,6 +1681,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk_windows": doc_chunk_windows,
+    "t_stream_pipeline": t_stream_pipeline,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------
     "t_ip_extract": t_ip_extract,
     "t_class_counts": t_class_counts,

@@ -1,0 +1,176 @@
+"""Structured Streaming face of the pipeline — a capability the batch
+reference lacks, free on Spark because every enrichment stage is
+stateless (map expressions + broadcast hash joins against static lookup
+DataFrames) and therefore valid in a streaming plan unchanged.
+
+Shapes:
+
+* :func:`stream_pipeline` — readStream over a transcript table/directory
+  → the SAME parse/enrich/route stages as ``plans.pipeline`` →
+  partitioned parquet sinks with a write-ahead checkpoint. With
+  ``trigger(availableNow=True)`` it drains everything present and stops:
+  deterministic, so its output is byte-comparable to the batch pipeline
+  (the gate asserts exactly that via the batch DuckDB oracle). In
+  production the same call with a processing-time trigger tails an
+  arriving directory/Iceberg table incrementally — the checkpoint makes
+  restarts exactly-once per input file.
+* :func:`stream_windowed_counts` — event-time tumbling-window sink
+  counts with a watermark: the late-data-tolerant monitoring aggregate
+  (reference has no analog; its summaries are all post-hoc batch).
+
+Scale notes: the streaming plan inherits the batch plan's properties —
+zero fact-side shuffles before the routed write, broadcast-only lookups
+(rebroadcast per micro-batch is tens of MBs), and the windowed agg
+shuffles only (window, sink) keys with state bounded by the watermark
+horizon. ``enrich(barrier=False)`` is REQUIRED: the batch path's
+localCheckpoint lineage cut is illegal in a streaming plan (and
+unnecessary — each micro-batch plan is analyzed once).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrich import enrich
+from ..parsers.formats import parse_stage
+from .route import route_stage
+
+#: transcript source schema (readStream cannot infer)
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, ts timestamp, role string, "
+    "tool string, text string"
+)
+
+
+def _source_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str = TRANSCRIPT_DDL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The raw transcript readStream (plan contains ONLY the source)."""
+    if os.path.isfile(input_path):
+        # FileStreamSource watches a DIRECTORY; for a single-file input
+        # (the committed fixtures) expose it through a symlink dir. The
+        # dir is DETERMINISTIC per input path so a restarted query's
+        # checkpoint (which records seen file URIs) still recognizes the
+        # file. Production always points at a directory / table location.
+        import hashlib
+        import tempfile
+
+        ap = os.path.abspath(input_path)
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "lb_stream_src_" + hashlib.md5(ap.encode()).hexdigest()[:16],
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(input_path))
+        if not os.path.islink(link):
+            os.symlink(ap, link)
+        input_path = d
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def stream_enriched(
+    spark: SparkSession,
+    input_path: str,
+    lookups: dict[str, DataFrame],
+    schema: str = TRANSCRIPT_DDL,
+    do_parse: bool = True,
+    max_files_per_trigger: int | None = None,
+    **enrich_flags,
+) -> DataFrame:
+    """readStream → parse/enrich/route IN the streaming plan; returns the
+    streaming DataFrame (caller picks sink + trigger — required when the
+    downstream is a streaming-native stateful op like the watermarked
+    window agg). Cost note: without the batch path's analysis barrier
+    (illegal in a streaming plan) Catalyst re-walks the extraction trees
+    per join at plan time — prefer :func:`stream_pipeline`'s
+    foreachBatch form whenever the sink is a plain write."""
+    src = _source_stream(spark, input_path, schema, max_files_per_trigger)
+    enrich_flags.setdefault("use_whois", False)
+    enrich_flags.setdefault("use_idb", False)
+    df = enrich(src, lookups, barrier=False, **enrich_flags)
+    if do_parse:
+        df = parse_stage(df)
+    return route_stage(df)
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    lookups: dict[str, DataFrame],
+    out_dir: str,
+    available_now: bool = True,
+    processing_interval: str = "30 seconds",
+    schema: str = TRANSCRIPT_DDL,
+    do_parse: bool = True,
+    max_files_per_trigger: int | None = None,
+    **enrich_flags,
+):
+    """Drain (availableNow) or tail (processing-time trigger) the input
+    into per-sink parquet with file-level checkpointing.
+
+    The enrichment runs inside ``foreachBatch``, NOT in the streaming
+    plan: each micro-batch arrives as a BATCH DataFrame where enrich's
+    localCheckpoint analysis barrier is legal, so Catalyst analyzes the
+    big extraction expression trees once per batch instead of re-walking
+    them per join inside the streaming plan (measured: the in-plan
+    variant spent ~170 s of pure driver analysis per drain at sf0.001;
+    foreachBatch is ~15 s). The streaming plan itself is just the source
+    passthrough. Exactly-once is file-level via the checkpoint's source
+    WAL (a committed micro-batch is never re-fed); a mid-batch crash can
+    re-append that batch's files — use an idempotent table sink
+    (Iceberg/Delta overwrite-by-batch-id) where that matters.
+    """
+    # stream_enriched's single-file shim, minus the heavy plan
+    routed_src = _source_stream(
+        spark, input_path, schema, max_files_per_trigger
+    )
+    enrich_flags.setdefault("use_whois", False)
+    enrich_flags.setdefault("use_idb", False)
+    data_dir = os.path.join(out_dir, "data")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        df = enrich(batch_df, lookups, **enrich_flags)
+        if do_parse:
+            df = parse_stage(df)
+        route_stage(df).write.mode("append").partitionBy("sink").parquet(data_dir)
+
+    writer = routed_src.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        # caller manages the returned query's lifecycle
+        return writer.trigger(processingTime=processing_interval).start()
+
+
+def stream_windowed_counts(
+    routed: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window per-sink row counts, tolerating late
+    rows up to the watermark (state for a window is dropped once the
+    event-time high-water mark passes window_end + watermark — bounded
+    memory at any stream length)."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("sink"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sink",
+            "rows",
+        )
+    )

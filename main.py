@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intelname", default=None, help="feed name/tag for --intelfile")
     p.add_argument("--inteltype", default=None, help="category label for --intelfile")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="run the pipeline as a Structured Streaming availableNow drain "
+        "(foreachBatch enrichment, checkpointed per-sink parquet) instead of "
+        "the batch group-committed writer; parquet input only",
+    )
     p.add_argument("--combine", action="store_true", help="write combined union of all sinks")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (tests only)")
     return p
@@ -100,6 +107,9 @@ def main(argv: list[str] | None = None) -> int:
     from logboost_spark.plans.pipeline import run_pipeline, date_filter
     from logboost_spark.plans.checkpoint import read_sinks, sink_counts
 
+    if args.stream and args.input_format != "parquet":
+        print("--stream requires --input-format parquet", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="logboost_spark_cli", cores=args.cores)
     if args.input_format == "logs":
         from logboost_spark.sources.readers import read_log_directory
@@ -129,6 +139,34 @@ def main(argv: list[str] | None = None) -> int:
         lookups["ti"] = lookups["ti"].unionByName(custom).dropDuplicates(
             ["ip", "feed_name", "category"]
         )
+    if args.stream:
+        from logboost_spark.plans.streaming import stream_pipeline
+
+        stream_pipeline(
+            spark,
+            args.input,
+            lookups,
+            args.output,
+            do_parse=not args.no_parse,
+            use_ti=not args.no_ti,
+            use_dns=not args.no_dns,
+            use_whois=not args.no_whois,
+            use_idb=not args.no_idb,
+            ip_col_name=args.ipcol,
+            json_col_name=args.jsoncol,
+        )
+        # streaming writes no group manifests — count from the data itself
+        from pyspark.sql import functions as F
+
+        counts = {
+            r.sink: r.cnt
+            for r in spark.read.parquet(os.path.join(args.output, "data"))
+            .groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        print(json.dumps({"streamed": True, "sink_counts": counts}))
+        return 0
     manifests = run_pipeline(
         spark,
         transcripts,

@@ -88,3 +88,36 @@ def test_stream_windowed_counts(spark, tmp_path):
     assert got == want
     # every window spans exactly one hour
     assert all((r.window_end - r.window_start).total_seconds() == 3600 for r in rows)
+
+
+def test_cli_stream_mode(spark, tmp_path, capsys):
+    """--stream drains the parquet input via Structured Streaming and
+    reports per-sink counts equal to the batch CLI run."""
+    import json as J
+
+    import main as M
+
+    src = fixture_path("sf0.001")
+    out_s = str(tmp_path / "stream_sinks")
+    rc = M.main([
+        "--input", src, "--output", out_s, "--stream",
+        "--no-whois", "--no-idb", "--no-parse",
+    ])
+    assert rc == 0
+    res = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["streamed"] is True
+    out_b = str(tmp_path / "batch_sinks")
+    rc = M.main([
+        "--input", src, "--output", out_b,
+        "--no-whois", "--no-idb", "--no-parse", "--groups", "2",
+    ])
+    assert rc == 0
+    batch = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["sink_counts"] == {
+        k: v for k, v in batch["sink_counts"].items() if v
+    } or res["sink_counts"] == batch["sink_counts"]
+    # --stream rejects logs-mode input
+    assert M.main([
+        "--input", src, "--output", out_s, "--stream",
+        "--input-format", "logs",
+    ]) == 2

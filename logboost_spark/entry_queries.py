@@ -929,6 +929,21 @@ def doc_chunk_windows(spark, sf_dir):
     return chunk_documents(d, budget=16, overlap=4)
 
 
+def doc_lm_score(spark, sf_dir):
+    """Perplexity-proxy quality scoring: mean unigram log-prob of each
+    doc's BPE tokens under the offline-trained corpus LM (the CCNet
+    perplexity filter, here over the learned vocab). All JVM: replace
+    chain + literal map lookup + sequential array fold."""
+    from .functions.textfns import bpe_lm_score, bpe_token_count
+
+    d = _t_par(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(bpe_lm_score(F.col("text")), 5).alias("lm_score"),
+    )
+
+
 def doc_vocab_topk(spark, sf_dir):
     """Corpus top-20 tokens (vocab/BPE prep): map-side-combined counts
     + TakeOrderedAndProject (per-partition k-heap, driver merge) —
@@ -1071,6 +1086,26 @@ SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
   CAST(u * {stride} AS BIGINT) AS start_tok,
   CAST(LEAST(u * {stride} + {budget}, n_tokens) AS BIGINT) AS end_tok
 FROM k, unnest(range(0, kmax + 1)) t(u)"""
+
+
+def _lm_score_sql() -> str:
+    """Oracle mirror of functions.textfns.bpe_lm_score: same literal
+    log-prob doubles, same sequential list fold, same NULL-for-empty.
+    Values cast ::DOUBLE[] — bare SQL literals would become DECIMAL."""
+    from .fixtures.bpe_vocab import TOKEN_LOGPROB, UNK_LOGPROB
+
+    ctes, last = _bpe_ctes()
+    keys = ", ".join("'" + k.replace("'", "''") + "'" for k in TOKEN_LOGPROB)
+    vals = ", ".join(repr(v) for v in TOKEN_LOGPROB.values())
+    return f"""WITH {ctes},
+m AS (SELECT map(ARRAY[{keys}]::VARCHAR[], ARRAY[{vals}]::DOUBLE[]) AS mp)
+SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens,
+  CASE WHEN length(t) > 0 THEN
+    round(list_aggregate(list_transform(string_split_regex(t, ''),
+      c -> coalesce(map_extract(mp, c)[1], {UNK_LOGPROB!r})), 'sum')
+      / length(t), 5)
+  END AS lm_score
+FROM {last}, m"""
 
 
 def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
@@ -1406,6 +1441,7 @@ SELECT doc_id, count(*) AS hit_shingles, min(_g) AS example_shingle
 FROM h GROUP BY doc_id""",
         "doc_pack_sequences": _pack_sequences_sql(),
         "doc_chunk_windows": _chunk_windows_sql(),
+        "doc_lm_score": _lm_score_sql(),
         "doc_quality": f"""
 WITH q AS (
   SELECT doc_id, trim(text) AS t,
@@ -1681,6 +1717,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk_windows": doc_chunk_windows,
+    "doc_lm_score": doc_lm_score,
     "t_stream_pipeline": t_stream_pipeline,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------
     "t_ip_extract": t_ip_extract,

@@ -59,6 +59,33 @@ def bpe_token_count(text: Column) -> Column:
     return F.length(bpe_encode(text))
 
 
+def bpe_lm_score(text: Column) -> Column:
+    """CCNet-style perplexity-filter signal (Wenzek et al. 2019,
+    arXiv:1911.00359): mean unigram log-prob of the doc's BPE tokens
+    under the training-corpus LM (fixtures/bpe_vocab.TOKEN_LOGPROB,
+    Laplace add-1; unseen symbols get UNK_LOGPROB). Higher = more
+    in-domain; filter the low tail. Entirely JVM-side: encode is the
+    replace chain, the log-prob table is a constant-foldable literal
+    map, and the fold over tokens is a sequential array aggregate —
+    bit-identical to the DuckDB oracle's list_aggregate fold. Empty
+    docs score NULL."""
+    from ..fixtures.bpe_vocab import TOKEN_LOGPROB, UNK_LOGPROB
+
+    enc = bpe_encode(text)
+    toks = F.split(enc, "")
+    m = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in TOKEN_LOGPROB]),
+        F.array(*[F.lit(v) for v in TOKEN_LOGPROB.values()]),
+    )
+    total = F.aggregate(
+        toks,
+        F.lit(0.0).cast("double"),
+        lambda a, c: a + F.coalesce(F.element_at(m, c), F.lit(UNK_LOGPROB)),
+    )
+    n = F.length(enc)
+    return F.when(n > 0, total / n)
+
+
 def _marker_hits(text: Column, words: list[str]) -> Column:
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     arr = F.array(*[F.lit(w) for w in words])

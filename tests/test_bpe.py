@@ -83,3 +83,37 @@ def test_bpe_decode_roundtrip_property():
         assert decode(py_encode(s)) == s
 
     check()
+
+
+def test_lm_score_ranks_quality_and_matches_python(spark):
+    """In-domain text must outscore out-of-vocab gibberish; empty docs
+    score NULL; the Spark fold equals a pure-Python replay."""
+    import math
+
+    from logboost_spark.fixtures.bpe_vocab import TOKEN_LOGPROB, UNK_LOGPROB
+    from logboost_spark.functions.textfns import bpe_lm_score
+
+    texts = [
+        "the customer table joins the orders table",  # in-domain
+        "zzqx jjvw qqpp zxzx",                        # gibberish
+        "",                                            # empty -> NULL
+        "北京 čhärs ∆∆∆",                              # fully OOV
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r.i: r.s for r in df.select("i", bpe_lm_score(F.col("t")).alias("s")).collect()}
+
+    def py_score(s):
+        enc = py_encode(s)
+        if not enc:
+            return None
+        return sum(TOKEN_LOGPROB.get(c, UNK_LOGPROB) for c in enc) / len(enc)
+
+    for i, t in enumerate(texts):
+        want = py_score(t)
+        if want is None:
+            assert got[i] is None
+        else:
+            assert math.isclose(got[i], want, rel_tol=1e-12), (i, got[i], want)
+    # in-domain text dominates both kinds of junk (their relative order
+    # depends on how many in-vocab spaces/letters each happens to contain)
+    assert got[0] > got[1] and got[0] > got[3]

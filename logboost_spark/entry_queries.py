@@ -152,6 +152,65 @@ def t_stream_pipeline(spark, sf_dir):
     )
 
 
+_STREAM_SESS_SEQ = [0]
+
+
+def t_stream_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-user gap sessionization over the events stream, drained with
+    availableNow. A far-future sentinel event advances the watermark so
+    every real session's event-time timeout fires before the stream
+    stops; the DuckDB oracle is the equivalent BATCH window-function
+    sessionization — a full rows+schema+hash gate for stateful
+    streaming. Session bounds emitted as epoch micros (cross-engine
+    timestamp stringification is not hash-stable)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from .plans.streaming import stream_sessionize
+
+    src_dir = tempfile.mkdtemp(prefix="lb_stream_sess_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    spark.createDataFrame(
+        [(999999, dt.datetime(2030, 1, 1), -1, "sentinel", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "zz_sentinel"))
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    _STREAM_SESS_SEQ[0] += 1
+    name = f"lb_sessions_{_STREAM_SESS_SEQ[0]}"
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") != -1)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 def t_pipeline_full(spark, sf_dir):
     """Flagship: per-turn enrichment row set (13 columns × every turn)."""
     return (
@@ -1180,6 +1239,22 @@ SELECT sink, count(*) AS cnt FROM routed GROUP BY sink""",
         "t_stream_pipeline": enr
         + """
 SELECT sink, count(*) AS cnt FROM routed GROUP BY sink""",
+        "t_stream_sessionize": """
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id,
+  CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+  CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+  count(*) AS n_events
+FROM s GROUP BY user_id, sid""",
         "t_pipeline_full": enr
         + """
 SELECT conv_id, turn_idx, lb_IP, lb_ASN, lb_ASN_Number, lb_Country, lb_City,
@@ -1719,6 +1794,7 @@ QUERIES = {
     "doc_chunk_windows": doc_chunk_windows,
     "doc_lm_score": doc_lm_score,
     "t_stream_pipeline": t_stream_pipeline,
+    "t_stream_sessionize": t_stream_sessionize,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------
     "t_ip_extract": t_ip_extract,
     "t_class_counts": t_class_counts,

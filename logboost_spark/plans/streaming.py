@@ -154,6 +154,92 @@ def stream_pipeline(
         return writer.trigger(processingTime=processing_interval).start()
 
 
+def stream_sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming gap-sessionization — the custom STATEFUL operator the
+    windowed builtins can't express (session windows keyed per user,
+    closed by inactivity): ``applyInPandasWithState`` keeps one open
+    session per user in the state store; events extend it or close it
+    (gap strictly > ``gap_minutes``, matching the batch sessionizer);
+    an event-time timeout at ``last + gap`` flushes idle sessions once
+    the watermark passes — so state is bounded by the ACTIVE-user count,
+    not the stream length.
+
+    Emits one row per CLOSED session (append mode): (user_id,
+    session_start, session_end, n_events). In-batch closures emit
+    immediately; the final open session of each user emits when its
+    timeout fires (Spark's end-of-stream no-data micro-batch advances
+    the watermark under availableNow, draining remaining state).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_schema = (
+        "user_id bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    )
+    state_schema = "start timestamp, last timestamp, n bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        parts = [pdf["ts"] for pdf in pdf_iter]
+        ts = pd.concat(parts).sort_values().tolist()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif (t - last).total_seconds() > gap_s:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": uid,
+                        "session_start": s,
+                        "session_end": e,
+                        "n_events": c,
+                    }
+                    for s, e, c in closed
+                ]
+            )
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_windowed_counts(
     routed: DataFrame,
     window: str = "5 minutes",

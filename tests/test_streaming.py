@@ -121,3 +121,69 @@ def test_cli_stream_mode(spark, tmp_path, capsys):
         "--input", src, "--output", out_s, "--stream",
         "--input-format", "logs",
     ]) == 2
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization drained with availableNow
+    must produce the SAME closed sessions as the batch window-function
+    sessionizer. A far-future sentinel event pushes the watermark past
+    every real session's timeout so all open state flushes before the
+    stream stops; the sentinel's own session is excluded."""
+    import datetime as dt
+    import shutil
+
+    from pyspark.sql import Window
+    from logboost_spark.plans.streaming import stream_sessionize
+
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "events.parquet")
+    sentinel = spark.createDataFrame(
+        [(999999, dt.datetime(2030, 1, 1), -1, "sentinel", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "zz_sentinel"))
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    sess = stream_sessionize(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+        if r.user_id != -1
+    }
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 20  # real multi-session corpus, not a trivial pass

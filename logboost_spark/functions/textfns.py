@@ -44,7 +44,14 @@ def bpe_encode(text: Column) -> Column:
     thing stays a JVM-side ``replace`` chain (whole-stage codegen, no
     Python, no UDF) and the DuckDB oracle replays the identical chain.
     Every char of the result is one token; characters outside the
-    training alphabet pass through as single-char tokens."""
+    training alphabet pass through as single-char tokens.
+
+    Scale honesty: the chain is O(len × n_merges) per doc — ~190 string
+    passes is cheap JVM work and beats an Arrow round-trip at this vocab
+    size, but it does NOT extrapolate to a production 50k-merge vocab;
+    there the right shape is mapInPandas batching a real BPE
+    implementation (priority-queue, O(len log len)) with this fixture's
+    merge list as its model."""
     from ..fixtures.bpe_vocab import MERGES
 
     c = text

@@ -240,6 +240,29 @@ def stream_sessionize(
     )
 
 
+def stream_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time exact dedup: full-md5 content key +
+    ``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark horizon instead of growing with the stream (an unbounded
+    ``dropDuplicates`` would OOM a long-running ingest). Web-crawl
+    duplicates cluster in time, so a horizon catches the bulk at
+    ingest; the batch ``exact_dedup`` pass remains the cross-horizon
+    authority. A key's state lives until the watermark passes its FIRST
+    sighting + delay, so a re-sighting inside that window is dropped
+    even if it arrives hours later by event time."""
+    return (
+        stream.withColumn("_h", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
 def stream_windowed_counts(
     routed: DataFrame,
     window: str = "5 minutes",

@@ -263,3 +263,60 @@ def test_chunk_documents_coverage_and_stride(spark):
             assert s2 - s1 == 12  # stride
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side
+
+
+def test_pack_and_chunk_match_python_replay_randomized(spark):
+    """Randomized cross-check against pure-Python replays (fixed seed):
+    pack_sequences must equal sort-by-(md5key,id)+cumsum, and
+    chunk_documents must equal the stride arithmetic, across uneven
+    budgets and token distributions."""
+    import hashlib
+    import random
+
+    from logboost_spark.operators.sampling import chunk_documents, pack_sequences
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 900)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+
+    def key(i, salt="pack"):
+        return int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16) % 1_000_000_000
+
+    for budget in (64, 1000, 999_983):
+        got = {
+            r.doc_id: (r.bin_id, r.offset_in_bin)
+            for r in pack_sequences(df, budget, n_parts=5).collect()
+        }
+        cum = 0
+        want = {}
+        for i, n in sorted(rows, key=lambda r: (key(r[0]), r[0])):
+            want[i] = (cum // budget, cum % budget)
+            cum += n
+        assert got == want, budget
+
+    for budget, overlap in ((16, 0), (16, 8), (37, 11)):
+        stride = budget - overlap
+        got = {}
+        for r in chunk_documents(df, budget, overlap).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_idx, r.start_tok, r.end_tok))
+        want = {}
+        for i, n in rows:
+            if n <= 0:
+                continue
+            kmax = 0 if n <= budget else (n - budget + stride - 1) // stride
+            want[i] = [(k, k * stride, min(k * stride + budget, n)) for k in range(kmax + 1)]
+        got = {k: sorted(v) for k, v in got.items()}
+        assert got == want, (budget, overlap)
+
+
+def test_pack_sequences_plan_shape(spark):
+    """Scale shape: ONE range exchange for the global order, windows only
+    per-partition (never an unpartitioned global window), offsets joined
+    by broadcast — no sort-merge join anywhere."""
+    from logboost_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)], "doc_id bigint, n_tokens bigint")
+    plan = pack_sequences(df, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -187,3 +187,44 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 20  # real multi-session corpus, not a trivial pass
+
+
+def test_stream_exact_dedup_bounded_state(spark, tmp_path):
+    """Ingest-time dedup drops within-batch and cross-batch duplicates
+    while keeping all distinct texts; the plan carries a watermark so
+    state is horizon-bounded, not stream-length-bounded."""
+    import datetime as dt
+
+    from logboost_spark.plans.streaming import stream_exact_dedup
+
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    ddl = "doc_id bigint, ts timestamp, text string"
+    spark.createDataFrame(
+        [(1, t0, "alpha"), (2, t0, "beta"), (3, t0, "alpha")], ddl  # in-batch dup
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(
+        [(4, t0 + dt.timedelta(minutes=30), "alpha"),  # cross-batch dup
+         (5, t0 + dt.timedelta(minutes=30), "gamma")], ddl
+    ).coalesce(1).write.parquet(str(d / "f2"))
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = stream_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]
+    # exactly one survivor per text, all columns intact
+    assert {r.text: r.doc_id for r in rows}["beta"] == 2

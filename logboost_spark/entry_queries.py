@@ -1003,6 +1003,18 @@ def doc_lm_score(spark, sf_dir):
     )
 
 
+def doc_mixture_sample(spark, sf_dir):
+    """Pile/LLaMA-style per-source mixture weights: src0 oversampled
+    2.5x (2 full copies + hash-decided half), src1 kept at 0.4,
+    src2 dropped, everything else 1.0. Pure map-side when-chain +
+    sequence explode; integer hash thresholds shared with the oracle."""
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_sample(d, {"src0": 2.5, "src1": 0.4, "src2": 0.0})
+    return out.select("doc_id", "source", F.col("rep").cast("bigint").alias("rep"))
+
+
 def doc_vocab_topk(spark, sf_dir):
     """Corpus top-20 tokens (vocab/BPE prep): map-side-combined counts
     + TakeOrderedAndProject (per-partition k-heap, driver merge) —
@@ -1517,6 +1529,19 @@ FROM h GROUP BY doc_id""",
         "doc_pack_sequences": _pack_sequences_sql(),
         "doc_chunk_windows": _chunk_windows_sql(),
         "doc_lm_score": _lm_score_sql(),
+        "doc_mixture_sample": f"""
+WITH w AS (SELECT doc_id, source,
+    {X.sql_md5_long("'mix' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+  FROM documents),
+c AS (SELECT doc_id, source,
+    CASE source
+      WHEN 'src0' THEN 2 + CASE WHEN h < 500000 THEN 1 ELSE 0 END
+      WHEN 'src1' THEN CASE WHEN h < 400000 THEN 1 ELSE 0 END
+      WHEN 'src2' THEN 0
+      ELSE 1 END AS copies
+  FROM w)
+SELECT doc_id, source, CAST(unnest(range(0, copies)) AS BIGINT) AS rep
+FROM c WHERE copies > 0""",
         "doc_quality": f"""
 WITH q AS (
   SELECT doc_id, trim(text) AS t,
@@ -1793,6 +1818,7 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_lm_score": doc_lm_score,
+    "doc_mixture_sample": doc_mixture_sample,
     "t_stream_pipeline": t_stream_pipeline,
     "t_stream_sessionize": t_stream_sessionize,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------

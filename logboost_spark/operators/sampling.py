@@ -152,6 +152,49 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source-weighted data mixing (the Pile/LLaMA-style
+    per-source epoch weights): weight w emits floor(w) full copies of
+    every doc plus one more with probability frac(w), decided by the
+    salted key hash — so w=2.3 oversamples a source 2.3× in
+    expectation, exactly and reproducibly per key. Output carries
+    ``rep`` ∈ [0, copies) so downstream shuffling/packing can treat
+    copies as distinct examples.
+
+    Map-side only: a literal when-chain resolves (copies, keep-extra
+    threshold) per source — integer thresholds precomputed in Python so
+    both engines compare the same integers, no float boundary — and a
+    sequence+explode emits the copies. Zero shuffle at any scale;
+    weight 0 drops the source entirely."""
+    h = _key_hash(F.col(id_col), salt, 1_000_000)
+    copies = None
+    for src, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {src!r}")
+        k = int(w)
+        thr = int(round((w - k) * 1_000_000))
+        c = F.lit(k) + F.when(h < thr, 1).otherwise(0)
+        cond = F.col(source_col) == src
+        copies = F.when(cond, c) if copies is None else copies.when(cond, c)
+    kd = int(default_weight)
+    thr_d = int(round((default_weight - kd) * 1_000_000))
+    c_d = F.lit(kd) + F.when(h < thr_d, 1).otherwise(0)
+    copies = c_d if copies is None else copies.otherwise(c_d)
+    return (
+        df.withColumn("_c", copies)
+        .filter(F.col("_c") > 0)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.col("_c") - 1)))
+        .drop("_c")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     budget: int,

@@ -320,3 +320,29 @@ def test_pack_sequences_plan_shape(spark):
     assert "rangepartitioning" in plan.lower()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_weights_and_determinism(spark):
+    """w=2.5 gives 2 or 3 copies per doc (mean ~2.5); w=0 drops the
+    source; default 1.0 passes through single; reruns identical; rep
+    indexes are contiguous from 0."""
+    from logboost_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = mixture_sample(df, {"s0": 2.5, "s1": 0.0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault((r.doc_id, r.source), []).append(r.rep)
+    assert not any(s == "s1" for _, s in by_doc)          # dropped
+    s0_copies = [len(v) for (d, s), v in by_doc.items() if s == "s0"]
+    assert set(s0_copies) <= {2, 3}
+    assert 2.2 < sum(s0_copies) / len(s0_copies) < 2.8    # ~2.5 mean
+    assert all(len(v) == 1 for (d, s), v in by_doc.items() if s == "s2")
+    for reps in by_doc.values():
+        assert sorted(reps) == list(range(len(reps)))      # contiguous reps
+    again = mixture_sample(df, {"s0": 2.5, "s1": 0.0}).collect()
+    assert {(r.doc_id, r.rep) for r in again} == {(r.doc_id, r.rep) for r in out}
+    # map-side only
+    plan = mixture_sample(df, {"s0": 2.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1015,6 +1015,26 @@ def doc_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "source", F.col("rep").cast("bigint").alias("rep"))
 
 
+def corpus_health_report(spark, sf_dir):
+    """Composite corpus-health dashboard — the operators composing: per
+    source, doc count, total learned-BPE tokens, exact-duplicate doc
+    count (full md5), and the perplexity-filter reject count
+    (lm_score < −6.3 on the per-row ROUNDED score, so the threshold
+    compare is bit-identical cross-engine). All-integer output: the
+    driver compares floats exactly, so aggregate means stay out of the
+    contract and thresholds go in."""
+    from .functions.textfns import bpe_lm_score, bpe_token_count
+
+    d = _t_par(spark, sf_dir, "documents")
+    lm = F.round(bpe_lm_score(F.col("text")), 5)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("dup_docs"),
+        F.sum(F.when(lm < -6.3, 1).otherwise(0)).alias("low_lm_docs"),
+    )
+
+
 def doc_vocab_topk(spark, sf_dir):
     """Corpus top-20 tokens (vocab/BPE prep): map-side-combined counts
     + TakeOrderedAndProject (per-partition k-heap, driver merge) —
@@ -1092,7 +1112,7 @@ def emb_near_dups_lsh(spark, sf_dir):
 # ===========================================================================
 
 
-def _bpe_ctes() -> tuple[str, str]:
+def _bpe_ctes(extra: tuple[str, ...] = ()) -> tuple[str, str]:
     """The learned-BPE tokenizer as a DuckDB replace() chain — the exact
     SQL mirror of functions.textfns.bpe_encode (same merge fixture).
     Staged through CTEs of ≤64 merges each: DuckDB's binder caps
@@ -1101,6 +1121,7 @@ def _bpe_ctes() -> tuple[str, str]:
     one BPE token."""
     from .fixtures.bpe_vocab import MERGES
 
+    cols = "doc_id, n_chars" + "".join(f", {c}" for c in extra)
     ctes, prev, i = [], "documents", 0
     for lo in range(0, len(MERGES), 64):
         e = "text" if lo == 0 else "t"
@@ -1108,7 +1129,7 @@ def _bpe_ctes() -> tuple[str, str]:
             pair = (a + b).replace("'", "''")
             new = n.replace("'", "''")
             e = f"replace({e}, '{pair}', '{new}')"
-        ctes.append(f"b{i} AS (SELECT doc_id, n_chars, {e} AS t FROM {prev})")
+        ctes.append(f"b{i} AS (SELECT {cols}, {e} AS t FROM {prev})")
         prev, i = f"b{i}", i + 1
     return ",\n".join(ctes), prev
 
@@ -1177,6 +1198,29 @@ SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens,
       / length(t), 5)
   END AS lm_score
 FROM {last}, m"""
+
+
+def _corpus_health_sql() -> str:
+    from .fixtures.bpe_vocab import TOKEN_LOGPROB, UNK_LOGPROB
+
+    ctes, last = _bpe_ctes(extra=("source", "text"))
+    keys = ", ".join("'" + k.replace("'", "''") + "'" for k in TOKEN_LOGPROB)
+    vals = ", ".join(repr(v) for v in TOKEN_LOGPROB.values())
+    fold = (
+        "round(list_aggregate(list_transform(string_split_regex(t, ''), "
+        f"c -> coalesce(map_extract(mp, c)[1], {UNK_LOGPROB!r})), 'sum') "
+        "/ length(t), 5)"
+    )
+    return f"""WITH {ctes},
+m AS (SELECT map(ARRAY[{keys}]::VARCHAR[], ARRAY[{vals}]::DOUBLE[]) AS mp),
+x AS (SELECT source, text, t,
+        CASE WHEN length(t) > 0 THEN {fold} END AS lm
+      FROM {last}, m)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(length(t)) AS BIGINT) AS total_tokens,
+  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+  CAST(sum(CASE WHEN lm < -6.3 THEN 1 ELSE 0 END) AS BIGINT) AS low_lm_docs
+FROM x GROUP BY source"""
 
 
 def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
@@ -1529,6 +1573,7 @@ FROM h GROUP BY doc_id""",
         "doc_pack_sequences": _pack_sequences_sql(),
         "doc_chunk_windows": _chunk_windows_sql(),
         "doc_lm_score": _lm_score_sql(),
+        "corpus_health_report": _corpus_health_sql(),
         "doc_mixture_sample": f"""
 WITH w AS (SELECT doc_id, source,
     {X.sql_md5_long("'mix' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
@@ -1819,6 +1864,7 @@ QUERIES = {
     "doc_chunk_windows": doc_chunk_windows,
     "doc_lm_score": doc_lm_score,
     "doc_mixture_sample": doc_mixture_sample,
+    "corpus_health_report": corpus_health_report,
     "t_stream_pipeline": t_stream_pipeline,
     "t_stream_sessionize": t_stream_sessionize,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------

@@ -102,10 +102,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _element_hashes(docs: DataFrame, text_col: str, id_col: str, ngram: int = 1) -> DataFrame:
+    # explode_OUTER + not-null on the OUTPUT ≡ explode (shingle arrays
+    # never contain nulls), but avoids the Generate's inferred
+    # size(_sh)>0 pushdown filter, which Catalyst inlines into the scan
+    # with the whole staged shingle expression — doubling its compute
+    # (same trap as the attribute staging above, one layer further down).
     staged = with_shingles(docs, text_col, ngram, out="_sh")
-    return staged.select(
-        F.col(id_col), F.explode(F.col("_sh")).alias("_tok")
-    ).withColumn("_hv", md5_long(F.col("_tok")))
+    return (
+        staged.select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("_tok"))
+        .filter(F.col("_tok").isNotNull())
+        .withColumn("_hv", md5_long(F.col("_tok")))
+    )
 
 
 def minhash_signatures(
@@ -239,8 +246,12 @@ def ngram_jaccard_pairs(
     universe and the join stays O(df_cap²) per hot shingle instead of
     quadratic in the corpus.
     """
-    sh = with_shingles(docs, text_col, n, out="_grams").select(
-        F.col(id_col), F.explode(F.col("_grams")).alias("g")
+    # explode_outer + not-null output filter: see _element_hashes — keeps
+    # the inferred Generate filter from re-inlining the shingle build
+    sh = (
+        with_shingles(docs, text_col, n, out="_grams")
+        .select(F.col(id_col), F.explode_outer(F.col("_grams")).alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     if df_cap is not None:
         # df via partial-agg groupBy + semi-join, NOT count-over-window:
@@ -299,15 +310,22 @@ def decontaminate(
     ``broadcast_benchmark=False`` for an oversized benchmark — AQE picks
     a shuffle join and skew-splits hot shingles.
     """
+    # explode_OUTER, not explode: the inner Generate infers a
+    # size(_sh)>0 filter that Catalyst pushes to the scan with the whole
+    # zip_with shingle expression INLINED — computing every doc's
+    # shingles twice. The inner join on _g drops the outer-explode's
+    # null rows anyway, so semantics are identical and shingles are
+    # built once per row (verified in the physical plan).
     bs = (
         with_shingles(benchmark, text_col, n, out="_sh")
-        .select(F.explode("_sh").alias("_g"))
+        .select(F.explode_outer("_sh").alias("_g"))
+        .filter(F.col("_g").isNotNull())
         .distinct()
     )
     if broadcast_benchmark:
         bs = F.broadcast(bs)
     cs = with_shingles(corpus, text_col, n, out="_sh").select(
-        F.col(id_col), F.explode("_sh").alias("_g")
+        F.col(id_col), F.explode_outer("_sh").alias("_g")
     )
     return (
         cs.join(bs, "_g")

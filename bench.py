@@ -117,6 +117,8 @@ def main():
         "doc_simhash",
         "ann_topk_bruteforce",
         "doc_bpe_token_count",
+        "doc_decontaminate",
+        "corpus_health_report",
     ]:
         fn = Q.QUERIES[name]
         runs = []

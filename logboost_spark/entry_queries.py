@@ -1107,6 +1107,24 @@ def emb_near_dups_lsh(spark, sf_dir):
     )
 
 
+def emb_dedup_apply(spark, sf_dir):
+    """SemDeDup-style end-to-end: embedding LSH near-dup pairs →
+    connected components (min-label propagation) → drop every
+    non-canonical vector — the full semantic-dedup materialization
+    chain composed from its gate-proven pieces."""
+    from .operators.dedup import embedding_near_dups_lsh, near_dup_clusters
+    from .operators.sampling import apply_dedup
+
+    emb = _t_par(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_lsh(
+        emb, threshold=0.45, n_planes=24, bands=8, dim=64
+    )
+    clusters = near_dup_clusters(pairs, id_a="id_a", id_b="id_b").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return apply_dedup(emb.select("vec_id"), clusters, id_col="vec_id")
+
+
 # ===========================================================================
 # Oracle SQL
 # ===========================================================================
@@ -1830,6 +1848,28 @@ s AS (SELECT cand.id_a, cand.id_b, list_cosine_similarity(av.v, bv.v) AS cos
       FROM cand JOIN cv av ON av.vec_id = cand.id_a
                 JOIN cv bv ON bv.vec_id = cand.id_b)
 SELECT id_a, id_b, round(cos, 5) AS cos FROM s WHERE cos >= 0.45""",
+        "emb_dedup_apply": f"""
+WITH RECURSIVE bk AS ({X.hyperplane_band_union_sql(
+            'embedding', 'vec_id',
+            'SELECT vec_id, embedding FROM embeddings', 24, 8, 64)}),
+capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM bk)
+           WHERE bn <= 1000),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.vec_id < b.vec_id),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT cand.id_a, cand.id_b
+      FROM cand JOIN cv av ON av.vec_id = cand.id_a
+                JOIN cv bv ON bv.vec_id = cand.id_b
+      WHERE list_cosine_similarity(av.v, bv.v) >= 0.45),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+cc AS (SELECT DISTINCT src AS id, src AS lab FROM edges
+       UNION
+       SELECT e.dst AS id, cc.lab FROM cc JOIN edges e ON e.src = cc.id),
+drops AS (SELECT id FROM cc GROUP BY id HAVING id <> min(lab))
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM drops)""",
     }
     if cb_ivf is None:
         del oracles["ann_topk_ivf"]
@@ -1865,6 +1905,7 @@ QUERIES = {
     "doc_lm_score": doc_lm_score,
     "doc_mixture_sample": doc_mixture_sample,
     "corpus_health_report": corpus_health_report,
+    "emb_dedup_apply": emb_dedup_apply,
     "t_stream_pipeline": t_stream_pipeline,
     "t_stream_sessionize": t_stream_sessionize,
     # --- Previously driver-proven gates (green rows in r01-r03) -------------

@@ -129,8 +129,16 @@ def pair(n: int, rows: int) -> dict:
 def main():
     p_small = pair(2, ROWS_SMALL)
     print(json.dumps(p_small))
-    p_big = pair(8, ROWS_BIG)
-    print(json.dumps(p_big))
+    # SCALING_ONLY_SMALL=1 reruns just the unsaturated (north-rule) pair
+    # and carries the saturated pair forward from the existing json —
+    # for noise-suspect reruns without paying the full ~80 min protocol
+    if os.environ.get("SCALING_ONLY_SMALL"):
+        with open(os.path.join(ROOT, "BENCH", "scaling.json")) as f:
+            p_big = json.load(f)["pair_saturated"]
+        print("carried saturated pair:", json.dumps(p_big))
+    else:
+        p_big = pair(8, ROWS_BIG)
+        print(json.dumps(p_big))
     reps = REPS
     # machine-readable evidence; bench.py embeds this into its JSON line
     # (labeled with its own measurement time) so the driver-visible bench

@@ -68,8 +68,20 @@ def _source_stream(
         )
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, os.path.basename(input_path))
-        if not os.path.islink(link):
+        # concurrent sessions race on the same deterministic path: both can
+        # pass an exists-check, so create first and treat FileExistsError as
+        # "the other session won" — then VALIDATE the winner actually is a
+        # symlink to our file (a stale regular file here would silently feed
+        # the stream wrong data)
+        try:
             os.symlink(ap, link)
+        except FileExistsError:
+            pass
+        if not (os.path.islink(link) and os.readlink(link) == ap):
+            raise RuntimeError(
+                f"stream source shim {link!r} exists but is not a symlink to "
+                f"{ap!r} — remove the stale entry (shared tempdir collision)"
+            )
         input_path = d
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -162,10 +162,16 @@ def read_log_directory(spark, input_dir: str, getall: bool = False) -> DataFrame
     from ..operators.combine import combine
 
     df = combine(frames)
-    # conv_id: strip everything through the normalized input dir (the
-    # SOURCE_FILE_COL is a file: URI whose path component contains it)
+    # conv_id: strip everything through the normalized input dir. The
+    # SOURCE_FILE_COL is a file: URI, so its path component is
+    # percent-ENCODED (a space is %20) while ``input_dir`` is a raw
+    # filesystem path — decode the URI before stripping or any input dir
+    # / filename with encodable characters falls back to the full URI.
+    # url_decode treats '+' as a space (form encoding); a URI path never
+    # contains a raw space, so a literal '+' is re-escaped to %2B first.
     prefix = re.escape(os.path.abspath(input_dir).rstrip("/") + "/")
-    conv = F.regexp_replace(F.col(SOURCE_FILE_COL), f"^.*{prefix}", "")
+    decoded = F.url_decode(F.regexp_replace(F.col(SOURCE_FILE_COL), r"\+", "%2B"))
+    conv = F.regexp_replace(decoded, f"^.*{prefix}", "")
     w_split = Window.partitionBy(SOURCE_FILE_COL, "_blk").orderBy(
         F.monotonically_increasing_id()
     )

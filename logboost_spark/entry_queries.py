@@ -1877,13 +1877,54 @@ WHERE vec_id NOT IN (SELECT id FROM drops)""",
 
 
 QUERIES = {
-    # --- Driver-window front-load (round 4) ---------------------------------
+    # --- Driver-window front-load (round 5) ---------------------------------
     # The driver's harness checks the FIRST 50 entries of this dict per round.
-    # These 13 queries were registered in rounds 1-3 but never received a
-    # driver CORRECTNESS row because they sat past position 50 (see
-    # VERDICT r03 "What's wrong" #1).  They are placed first so round 4
-    # finally produces driver rows; the t_*/q*/ti_* gates that drop out of
-    # the window already hold green rows from r01-r03.
+    # Window policy (VERDICT r04 #1): any gate whose code (or a shared helper
+    # on its path) changed since its last driver row goes FIRST; new gates go
+    # in the front block; gates with rows on unchanged code fill the rest.
+    #
+    # (a) minhash family — their shared shingle helper (_element_hashes /
+    #     explode_outer rewrite, dedup.py) changed in r4 AFTER their last
+    #     driver rows (r03); re-prove on current code.
+    "doc_minhash_sigs": doc_minhash_sigs,
+    "doc_minhash_lsh": doc_minhash_lsh,
+    "doc_dup_clusters": doc_dup_clusters,
+    "doc_dedup_apply": doc_dedup_apply,
+    # (b) the 19 other gates whose last rows are r01-r03 — rotate in so every
+    #     row in CORRECTNESS_r05 is on post-round-4 code.
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_revenue_by_priority": q3_revenue_by_priority,
+    "q5_region_volume": q5_region_volume,
+    "q_top_customers": q_top_customers,
+    "events_hourly": events_hourly,
+    "events_json_extract": events_json_extract,
+    "events_date_filter": events_date_filter,
+    "events_sessionize": events_sessionize,
+    "events_retention": events_retention,
+    "events_funnel": events_funnel,
+    "ti_build_ingest": ti_build_ingest,
+    "ti_category_counts_q": ti_category_counts_q,
+    "ti_summary_q": ti_summary_q,
+    "ti_feed_listing_q": ti_feed_listing_q,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_token_counts": doc_token_counts,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    # (c) round-5 gates (new code) — inserted here as they land.
+    # (d) gates whose code changes in round 5 (streaming sink rework,
+    #     sessionize ordering fix) — need fresh rows on the new code.
+    "t_stream_pipeline": t_stream_pipeline,
+    "t_stream_sessionize": t_stream_sessionize,
+    # --- r04-proven gates on unchanged code (fill the window tail) ----------
+    "doc_bpe_token_count": doc_bpe_token_count,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_chunk_windows": doc_chunk_windows,
+    "doc_lm_score": doc_lm_score,
+    "doc_mixture_sample": doc_mixture_sample,
+    "corpus_health_report": corpus_health_report,
+    "emb_dedup_apply": emb_dedup_apply,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -1897,18 +1938,7 @@ QUERIES = {
     "doc_vocab_topk": doc_vocab_topk,
     "doc_simhash": doc_simhash,
     "doc_ngram_jaccard": doc_ngram_jaccard,
-    # new round-4 gates — also inside the driver window
-    "doc_bpe_token_count": doc_bpe_token_count,
-    "doc_decontaminate": doc_decontaminate,
-    "doc_pack_sequences": doc_pack_sequences,
-    "doc_chunk_windows": doc_chunk_windows,
-    "doc_lm_score": doc_lm_score,
-    "doc_mixture_sample": doc_mixture_sample,
-    "corpus_health_report": corpus_health_report,
-    "emb_dedup_apply": emb_dedup_apply,
-    "t_stream_pipeline": t_stream_pipeline,
-    "t_stream_sessionize": t_stream_sessionize,
-    # --- Previously driver-proven gates (green rows in r01-r03) -------------
+    # --- past-the-window: r04-proven, code untouched in r5 ------------------
     "t_ip_extract": t_ip_extract,
     "t_class_counts": t_class_counts,
     "t_geo_enrich": t_geo_enrich,
@@ -1936,27 +1966,4 @@ QUERIES = {
     "t_date_filter": t_date_filter,
     "t_pii_scrub": t_pii_scrub,
     "t_turn_order": t_turn_order,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_revenue_by_priority": q3_revenue_by_priority,
-    "q5_region_volume": q5_region_volume,
-    "q_top_customers": q_top_customers,
-    "events_hourly": events_hourly,
-    "events_json_extract": events_json_extract,
-    "events_date_filter": events_date_filter,
-    "events_sessionize": events_sessionize,
-    "events_retention": events_retention,
-    "events_funnel": events_funnel,
-    "ti_build_ingest": ti_build_ingest,
-    "ti_category_counts_q": ti_category_counts_q,
-    "ti_summary_q": ti_summary_q,
-    "ti_feed_listing_q": ti_feed_listing_q,
-    "doc_exact_dedup": doc_exact_dedup,
-    "doc_token_counts": doc_token_counts,
-    "doc_quality": doc_quality,
-    "doc_lang_id": doc_lang_id,
-    "doc_fingerprints": doc_fingerprints,
-    "doc_minhash_sigs": doc_minhash_sigs,
-    "doc_minhash_lsh": doc_minhash_lsh,
-    "doc_dup_clusters": doc_dup_clusters,
-    "doc_dedup_apply": doc_dedup_apply,
 }

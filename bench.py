@@ -129,6 +129,39 @@ def main():
         query_runs[name] = runs
         timings[name] = statistics.median(runs)
 
+    # -- production-vocab tokenizer throughput ---------------------------
+    # 2000-merge table via the priority-queue encoder (a 2000-deep
+    # replace-chain expression tree is not even plannable — this is the
+    # path a 50k-merge deployment rides). Documents replicated ×50
+    # (~75 M chars at sf0.1) so the timing reflects encoder throughput
+    # (~0.5 Mchar/s/core measured), not job overhead.
+    from pyspark.sql import functions as F
+
+    from logboost_spark.functions.textfns import (
+        load_merges_json,
+        make_bpe_token_count_udf,
+    )
+
+    m2k = load_merges_json(
+        os.path.join(ROOT, "data", "lookups", "bpe_merges_2k.json")
+    )
+    cnt2k = make_bpe_token_count_udf(m2k)
+    rep = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+        .withColumn("r", F.explode(F.array_repeat(F.lit(0), 50)))
+        .repartition(CPUS)
+    )
+    runs = []
+    for _ in range(REPS):
+        t0 = time.time()
+        rep.agg(F.sum(cnt2k(F.col("text"))).alias("total_tokens")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(round(time.time() - t0, 3))
+    query_runs["doc_bpe_scalable_2k"] = runs
+    timings["doc_bpe_scalable_2k"] = statistics.median(runs)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     result = {
         "metric": "parse_enrich_route_pipeline_plus_operator_suite",

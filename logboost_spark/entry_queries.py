@@ -802,6 +802,27 @@ def doc_bpe_token_count(spark, sf_dir):
     )
 
 
+def doc_bpe_scalable(spark, sf_dir):
+    """Production-vocab tokenizer path (VERDICT r04 #2): the SAME merge
+    table applied by the O(len·log len) priority-queue encoder
+    (functions/textfns._bpe_encode_str, Arrow-batched pandas UDF)
+    instead of the O(len·n_merges) replace chain. The oracle replays
+    the replace chain in DuckDB, so a green row proves the two encoder
+    algorithms agree cross-engine on every document. Throughput is
+    vocabulary-size-independent — bench entry doc_bpe_scalable_2k runs
+    this encoder at a 2000-merge vocab (data/lookups/bpe_merges_2k.json)
+    where a 2000-deep replace expression tree is not even plannable."""
+    from .functions.textfns import make_bpe_token_count_udf
+
+    cnt = make_bpe_token_count_udf()
+    d = _t_par(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        cnt(F.col("text")).alias("n_tokens"),
+    )
+
+
 def doc_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     f = quality_features(F.col("text"))
@@ -1578,6 +1599,9 @@ SELECT doc_id,
   len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS bpe_tokens
 FROM documents""",
         "doc_bpe_token_count": _bpe_token_count_sql(),
+        # scalable encoder vs the SAME chain oracle: proves algorithm
+        # equivalence, not just engine parity
+        "doc_bpe_scalable": _bpe_token_count_sql(),
         "doc_decontaminate": f"""
 WITH bench AS (
   SELECT DISTINCT unnest({X.sql_shingles('text', 3)}) AS _g
@@ -1912,6 +1936,7 @@ QUERIES = {
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
     # (c) round-5 gates (new code) — inserted here as they land.
+    "doc_bpe_scalable": doc_bpe_scalable,
     # (d) gates whose code changes in round 5 (streaming sink rework,
     #     sessionize ordering fix) — need fresh rows on the new code.
     "t_stream_pipeline": t_stream_pipeline,

@@ -5,6 +5,8 @@ expressions (JVM regex / array ops), oracle-expressible in ANSI SQL.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -64,6 +66,122 @@ def bpe_token_count(text: Column) -> Column:
     """Token count under the learned BPE vocabulary = length of the
     encoded symbol string (one char per token)."""
     return F.length(bpe_encode(text))
+
+
+def bpe_ranks(merges) -> dict:
+    """Merge list → ``{(left, right): (rank, new_symbol)}`` lookup for
+    the priority-queue encoder."""
+    return {(a, b): (i, n) for i, (a, b, n) in enumerate(merges)}
+
+
+def _bpe_encode_str(s: str, ranks: dict) -> str:
+    """Priority-queue BPE application: O(len · log len) per document,
+    independent of vocabulary size — the production-vocab shape the
+    replace chain (O(len · n_merges)) can't reach.
+
+    PROVABLY identical output to applying the merge list in rank order
+    as global left-to-right replacements (``bpe_encode`` /
+    ``py_encode``): a merge's output symbol is a fresh private-use
+    char, and any merge whose inputs mention that symbol was
+    necessarily learned LATER — so no merge can ever create an
+    occurrence of a lower-ranked pair, and processing occurrences
+    globally in (rank, position) order is exactly the replace chain.
+    Overlaps ("aaa" under (a,a)) resolve left-to-right in both.
+    """
+    n = len(s)
+    if n < 2:
+        return s
+    import heapq
+
+    sym = list(s)
+    # doubly-linked list over live positions
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    heap = []
+    for i in range(n - 1):
+        r = ranks.get((sym[i], sym[i + 1]))
+        if r is not None:
+            heap.append((r[0], i, sym[i], sym[i + 1]))
+    heapq.heapify(heap)
+    push = heapq.heappush
+    pop = heapq.heappop
+    while heap:
+        rank, i, a, b = pop(heap)
+        # stale-entry check: the pair must still exist at i exactly as
+        # recorded (the b side may have been merged away, or sym[i]
+        # itself replaced by a later merge at this position)
+        if not alive[i] or sym[i] != a:
+            continue
+        j = nxt[i]
+        if j == -1 or sym[j] != b:
+            continue
+        new = ranks[(a, b)][1]
+        sym[i] = new
+        alive[j] = False
+        k = nxt[j]
+        nxt[i] = k
+        if k != -1:
+            prv[k] = i
+            r = ranks.get((new, sym[k]))
+            if r is not None:
+                push(heap, (r[0], i, new, sym[k]))
+        p = prv[i]
+        if p != -1:
+            r = ranks.get((sym[p], new))
+            if r is not None:
+                push(heap, (r[0], p, sym[p], new))
+    return "".join(c for c, ok in zip(sym, alive) if ok)
+
+
+def make_bpe_encode_udf(merges=None):
+    """Arrow-batched scalar pandas UDF applying the priority-queue
+    encoder. ``merges`` defaults to the fixture vocabulary; pass a
+    larger table (e.g. the 2k-merge JSON under data/lookups/) for the
+    production-vocab path. The ranks dict rides the task closure —
+    ~100 KB at 2k merges; a 50k-merge deployment would move it to a
+    SparkContext broadcast, same encoder."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    if merges is None:
+        from ..fixtures.bpe_vocab import MERGES as merges
+    ranks = bpe_ranks(merges)
+
+    @pandas_udf(T.StringType())
+    def _enc(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: None if s is None else _bpe_encode_str(s, ranks))
+
+    return _enc
+
+
+def make_bpe_token_count_udf(merges=None):
+    """Like :func:`make_bpe_encode_udf` but returns the token count
+    directly (avoids shipping the encoded string back through Arrow
+    when only the count is needed)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    if merges is None:
+        from ..fixtures.bpe_vocab import MERGES as merges
+    ranks = bpe_ranks(merges)
+
+    @pandas_udf(T.LongType())
+    def _cnt(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: None if s is None else len(_bpe_encode_str(s, ranks))
+        )
+
+    return _cnt
+
+
+def load_merges_json(path: str) -> list:
+    """Load a merge table written by ``tools/train_bpe.py --json``."""
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    return [tuple(m) for m in obj["merges"]]
 
 
 def bpe_lm_score(text: Column) -> Column:

@@ -117,3 +117,85 @@ def test_lm_score_ranks_quality_and_matches_python(spark):
     # in-domain text dominates both kinds of junk (their relative order
     # depends on how many in-vocab spaces/letters each happens to contain)
     assert got[0] > got[1] and got[0] > got[3]
+
+
+def test_scalable_encoder_equals_chain_pure_python():
+    """The priority-queue encoder must be byte-identical to the replace
+    chain on adversarial inputs — overlap runs, near-vocab strings,
+    arbitrary unicode — at the fixture vocab."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logboost_spark.functions.textfns import _bpe_encode_str, bpe_ranks
+
+    ranks = bpe_ranks(MERGES)
+    fixed = ["", "a", "aaa", "aaaa", "the the the", "  s s  s", "aaaa bbbb"]
+    for s in fixed:
+        assert _bpe_encode_str(s, ranks) == py_encode(s), s
+
+    chars = st.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters=[chr(c) for c in range(0xE000, 0xE000 + 2048)],
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=chars, max_size=300))
+    def check(s):
+        assert _bpe_encode_str(s, ranks) == py_encode(s)
+
+    check()
+
+
+def test_scalable_encoder_2k_vocab_and_spark_udf(spark):
+    """Production-vocab path: the 2000-merge JSON table gives identical
+    output to its replace chain (pure Python), and the Spark pandas UDF
+    matches the JVM replace chain per document at the fixture vocab."""
+    import os
+
+    from logboost_spark.functions.textfns import (
+        _bpe_encode_str,
+        bpe_ranks,
+        load_merges_json,
+        make_bpe_encode_udf,
+        make_bpe_token_count_udf,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "lookups", "bpe_merges_2k.json",
+    )
+    m2k = load_merges_json(path)
+    assert len(m2k) == 2000
+    r2k = bpe_ranks(m2k)
+
+    def chain(s, merges):
+        for a, b, n in merges:
+            s = s.replace(a + b, n)
+        return s
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r.text for r in d.limit(50).collect()] + ["", "aaa", "scan scan"]
+    for s in texts:
+        assert _bpe_encode_str(s, r2k) == chain(s, m2k)
+
+    # Spark UDF (fixture vocab) vs the JVM replace chain, every doc
+    enc = make_bpe_encode_udf()
+    cnt = make_bpe_token_count_udf()
+    bad = (
+        d.select(
+            bpe_encode(F.col("text")).alias("jvm"),
+            enc(F.col("text")).alias("py"),
+            bpe_token_count(F.col("text")).alias("n_jvm"),
+            cnt(F.col("text")).alias("n_py"),
+        )
+        .filter((F.col("jvm") != F.col("py")) | (F.col("n_jvm") != F.col("n_py")))
+        .count()
+    )
+    assert bad == 0
+
+    # 2k vocab must compress strictly better than the 192 fixture vocab
+    agg = d.select(
+        F.sum(bpe_token_count(F.col("text"))).alias("t192"),
+        F.sum(make_bpe_token_count_udf(m2k)(F.col("text"))).alias("t2k"),
+    ).collect()[0]
+    assert agg.t2k < agg.t192

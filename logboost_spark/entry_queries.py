@@ -43,6 +43,24 @@ from .parsers.formats import detect_format, parse_stage
 from .plans.route import route_category
 
 
+_GATE_TMP_ROOT: list[str] = []
+
+
+def _gate_tmp(prefix: str) -> str:
+    """Per-process temp dir for streaming gates, removed at interpreter
+    exit — repeated driver sweeps must not accumulate /tmp/lb_stream_*
+    litter on the host (VERDICT r04 nit #4)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _GATE_TMP_ROOT:
+        root = tempfile.mkdtemp(prefix="lb_gate_tmp_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _GATE_TMP_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_GATE_TMP_ROOT[0])
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -133,11 +151,9 @@ def t_stream_pipeline(spark, sf_dir):
     per-sink counts. trigger(availableNow) processes every present file
     exactly once, so the result matches the BATCH oracle (same SQL as
     t_route_counts) — a capability the batch-only reference lacks."""
-    import tempfile
-
     from .plans.streaming import stream_pipeline
 
-    out = tempfile.mkdtemp(prefix="lb_stream_gate_")
+    out = _gate_tmp("lb_stream_gate_")
     stream_pipeline(
         spark,
         fixture_path(sf_from_dir(sf_dir)),
@@ -152,7 +168,9 @@ def t_stream_pipeline(spark, sf_dir):
     )
 
 
-_STREAM_SESS_SEQ = [0]
+#: uniquifier for memory-sink table names (gates can run repeatedly
+#: in one process)
+_STREAM_GATE_SEQ = [0]
 
 
 def t_stream_sessionize(spark, sf_dir):
@@ -166,11 +184,10 @@ def t_stream_sessionize(spark, sf_dir):
     timestamp stringification is not hash-stable)."""
     import datetime as dt
     import shutil
-    import tempfile
 
     from .plans.streaming import stream_sessionize
 
-    src_dir = tempfile.mkdtemp(prefix="lb_stream_sess_")
+    src_dir = _gate_tmp("lb_stream_sess_")
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(src_dir, "events.parquet"),
@@ -188,8 +205,8 @@ def t_stream_sessionize(spark, sf_dir):
         .option("recursiveFileLookup", "true")
         .parquet(src_dir)
     )
-    _STREAM_SESS_SEQ[0] += 1
-    name = f"lb_sessions_{_STREAM_SESS_SEQ[0]}"
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"lb_sessions_{_STREAM_GATE_SEQ[0]}"
     q = (
         stream_sessionize(stream, gap_minutes=30)
         .writeStream.format("memory")
@@ -207,6 +224,106 @@ def t_stream_sessionize(spark, sf_dir):
             F.unix_micros("session_start").alias("start_us"),
             F.unix_micros("session_end").alias("end_us"),
             "n_events",
+        )
+    )
+
+
+def t_stream_exact_dedup(spark, sf_dir):
+    """Ingest-time streaming dedup (plans/streaming.stream_exact_dedup:
+    content md5 + dropDuplicatesWithinWatermark). The documents table is
+    split into 4 files streamed one-per-micro-batch (availableNow honors
+    maxFilesPerTrigger), so duplicate texts SPAN micro-batches and are
+    dropped from watermark-bounded state, not by an in-batch distinct.
+    WHICH physical duplicate survives is arrival-order-dependent, but
+    the surviving SET — exactly one row per distinct text — is exact, so
+    the gate projects the content hash and the oracle is
+    SELECT DISTINCT md5(text)."""
+    from .plans.streaming import stream_exact_dedup
+
+    src_dir = _gate_tmp("lb_stream_dedup_")
+    (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") % 3600),
+        )
+        .repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"lb_stream_dedup_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        stream_exact_dedup(stream, "text", "ts", "30 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(F.md5("text").alias("h"))
+
+
+def t_stream_windowed_counts(spark, sf_dir):
+    """Event-time tumbling-window sink counts with a watermark
+    (plans/streaming.stream_windowed_counts) drained with availableNow:
+    the late-data-tolerant monitoring aggregate. Append mode only emits
+    a window once the watermark passes its end, so a far-future sentinel
+    event advances the watermark past every real window before the
+    stream stops (same trick as t_stream_sessionize); the sentinel's own
+    window stays open and never emits. Window bounds returned as epoch
+    micros. Oracle = the equivalent batch tumbling-window aggregate with
+    explicit epoch-floor bucket math (engine-neutral alignment)."""
+    import datetime as dt
+    import shutil
+
+    from .plans.streaming import stream_windowed_counts
+
+    src_dir = _gate_tmp("lb_stream_wc_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    spark.createDataFrame(
+        [(999999, dt.datetime(2030, 1, 1), -1, "sentinel", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "zz_sentinel"))
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    routed = stream.withColumn("sink", F.col("event_type"))
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"lb_stream_wc_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        stream_windowed_counts(routed, window="15 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("sink") != "sentinel")
+        .select(
+            F.unix_micros("window_start").alias("ws_us"),
+            F.unix_micros("window_end").alias("we_us"),
+            "sink",
+            F.col("rows").alias("n_rows"),
         )
     )
 
@@ -1334,6 +1451,17 @@ SELECT sink, count(*) AS cnt FROM routed GROUP BY sink""",
         "t_stream_pipeline": enr
         + """
 SELECT sink, count(*) AS cnt FROM routed GROUP BY sink""",
+        # streaming dedup: the surviving set is one row per distinct
+        # text regardless of which physical duplicate survived
+        "t_stream_exact_dedup": "SELECT DISTINCT md5(text) AS h FROM documents",
+        # explicit epoch-floor bucket math: engine-neutral 15-min
+        # alignment (Spark window origin and DuckDB time_bucket origin
+        # differ in spelling, integer division does not)
+        "t_stream_windowed_counts": """
+SELECT CAST(floor(epoch(ts)/900) AS BIGINT) * 900000000 AS ws_us,
+       (CAST(floor(epoch(ts)/900) AS BIGINT) + 1) * 900000000 AS we_us,
+       event_type AS sink, count(*) AS n_rows
+FROM events GROUP BY 1,2,3""",
         "t_stream_sessionize": """
 WITH o AS (
   SELECT user_id, ts,
@@ -1937,6 +2065,8 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     # (c) round-5 gates (new code) — inserted here as they land.
     "doc_bpe_scalable": doc_bpe_scalable,
+    "t_stream_exact_dedup": t_stream_exact_dedup,
+    "t_stream_windowed_counts": t_stream_windowed_counts,
     # (d) gates whose code changes in round 5 (streaming sink rework,
     #     sessionize ordering fix) — need fresh rows on the new code.
     "t_stream_pipeline": t_stream_pipeline,

@@ -154,10 +154,28 @@ def write_routed(
         try:
             metrics = dict(obs.get.items())
         except Exception:
-            # an all-empty group: AQE collapses the plan to a zero-task
-            # LocalTableScan, the observe node never fires, and
-            # Observation.get asserts — zero counts IS the right manifest
-            metrics = {"rows": 0, **{f"rows_{s}": 0 for s in SINKS}}
+            # Observation.get asserts when an all-empty group's plan
+            # collapses to a zero-task LocalTableScan under AQE (the
+            # observe node never fires) — but a listener race/timeout
+            # raises the same way for a group whose data WAS written, and
+            # blindly zero-filling would corrupt sink_counts downstream.
+            # Recount from the parquet just committed: exact (sink is a
+            # partition column of the written layout) and only ever paid
+            # on this exceptional path. An empty group has no data files,
+            # so the read itself fails → genuine zeros.
+            try:
+                agg = (
+                    sub.sparkSession.read.parquet(target)
+                    .groupBy("sink")
+                    .count()
+                    .collect()
+                )
+                per = {f"rows_{s}": 0 for s in SINKS}
+                for r in agg:
+                    per[f"rows_{r['sink']}"] = int(r["count"])
+                metrics = {"rows": sum(per.values()), **per}
+            except Exception:
+                metrics = {"rows": 0, **{f"rows_{s}": 0 for s in SINKS}}
         entry = {
             "group": g,
             "n_groups": n_groups,

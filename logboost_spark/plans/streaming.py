@@ -124,6 +124,7 @@ def stream_pipeline(
     schema: str = TRANSCRIPT_DDL,
     do_parse: bool = True,
     max_files_per_trigger: int | None = None,
+    pre_enrich=None,
     **enrich_flags,
 ):
     """Drain (availableNow) or tail (processing-time trigger) the input
@@ -136,10 +137,22 @@ def stream_pipeline(
     them per join inside the streaming plan (measured: the in-plan
     variant spent ~170 s of pure driver analysis per drain at sf0.001;
     foreachBatch is ~15 s). The streaming plan itself is just the source
-    passthrough. Exactly-once is file-level via the checkpoint's source
-    WAL (a committed micro-batch is never re-fed); a mid-batch crash can
-    re-append that batch's files — use an idempotent table sink
-    (Iceberg/Delta overwrite-by-batch-id) where that matters.
+    passthrough.
+
+    Exactly-once, END TO END: the checkpoint's source WAL guarantees a
+    committed micro-batch is never re-fed, and the sink writes each
+    batch to its OWN partition directory ``data/batch_id=N`` with
+    ``mode("overwrite")`` — a crash between the sink write and the
+    checkpoint commit re-runs batch N, which (enrichment being
+    deterministic over the WAL'd file set) overwrites the same
+    directory with identical content instead of appending duplicates.
+    This is the same idempotence contract as Delta/Iceberg
+    overwrite-by-batch-id, expressed in plain partitioned parquet;
+    readers see ``batch_id`` as an ordinary partition column.
+
+    ``pre_enrich``: optional callable(DataFrame) → DataFrame applied to
+    each micro-batch before enrichment — the hook the CLI uses to apply
+    the --startdate/--enddate filter on the stream path.
     """
     # stream_enriched's single-file shim, minus the heavy plan
     routed_src = _source_stream(
@@ -150,10 +163,14 @@ def stream_pipeline(
     data_dir = os.path.join(out_dir, "data")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if pre_enrich is not None:
+            batch_df = pre_enrich(batch_df)
         df = enrich(batch_df, lookups, **enrich_flags)
         if do_parse:
             df = parse_stage(df)
-        route_stage(df).write.mode("append").partitionBy("sink").parquet(data_dir)
+        route_stage(df).write.mode("overwrite").partitionBy("sink").parquet(
+            os.path.join(data_dir, f"batch_id={batch_id}")
+        )
 
     writer = routed_src.writeStream.foreachBatch(_process).option(
         "checkpointLocation", os.path.join(out_dir, "_checkpoint")
@@ -223,7 +240,13 @@ def stream_sessionize(
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # a cross-batch out-of-order event (t < stored last but
+                # still within the watermark) EXTENDS the session; it
+                # must never move the session bounds backwards, or the
+                # next on-time event could falsely split the session
+                if t < start:
+                    start = t
+                last, n = max(last, t), n + 1
         state.update((start, last, n))
         state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_s * 1000)
         if closed:

@@ -142,12 +142,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream:
         from logboost_spark.plans.streaming import stream_pipeline
 
+        # the stream path re-reads args.input inside the streaming source,
+        # so the batch date_filter above never applies — feed the SAME
+        # filter into each micro-batch via the pre_enrich hook
+        pre = None
+        if args.startdate and args.enddate:
+            def pre(df):  # noqa: E306
+                return date_filter(
+                    df, args.datecol, args.dateformat, args.startdate, args.enddate
+                )
+
         stream_pipeline(
             spark,
             args.input,
             lookups,
             args.output,
             do_parse=not args.no_parse,
+            pre_enrich=pre,
             use_ti=not args.no_ti,
             use_dns=not args.no_dns,
             use_whois=not args.no_whois,
@@ -158,13 +169,17 @@ def main(argv: list[str] | None = None) -> int:
         # streaming writes no group manifests — count from the data itself
         from pyspark.sql import functions as F
 
+        streamed = spark.read.parquet(os.path.join(args.output, "data"))
         counts = {
             r.sink: r.cnt
-            for r in spark.read.parquet(os.path.join(args.output, "data"))
-            .groupBy("sink")
+            for r in streamed.groupBy("sink")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
+        if args.combine:
+            streamed.withColumn(
+                "SourceFile", F.input_file_name()
+            ).write.mode("overwrite").parquet(os.path.join(args.output, "combined"))
         print(json.dumps({"streamed": True, "sink_counts": counts}))
         return 0
     manifests = run_pipeline(

@@ -228,3 +228,136 @@ def test_stream_exact_dedup_bounded_state(spark, tmp_path):
     assert texts == ["alpha", "beta", "gamma"]
     # exactly one survivor per text, all columns intact
     assert {r.text: r.doc_id for r in rows}["beta"] == 2
+
+
+def test_stream_pipeline_crash_rerun_idempotent(spark):
+    """Exactly-once END TO END: simulate a crash in the window between
+    the sink write and the checkpoint commit (delete the batch's commit
+    marker, keep its offsets entry and its written files), then restart.
+    Spark re-executes the batch; the overwrite-by-batch-id sink must
+    replace data/batch_id=N with identical content — zero duplicate
+    rows — where the old append sink doubled that batch."""
+    import shutil
+
+    src = fixture_path("sf0.001")
+    out = tempfile.mkdtemp(prefix="lb_stream_crash_")
+    lookups = build_lookup_dfs(spark)
+    stream_pipeline(spark, src, lookups, out, do_parse=False)
+    data = os.path.join(out, "data")
+    want = spark.read.parquet(data).count()
+    want_sinks = {
+        r.sink: r.cnt
+        for r in spark.read.parquet(data)
+        .groupBy("sink").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+    commits = os.path.join(out, "_checkpoint", "commits")
+    markers = [f for f in os.listdir(commits) if not f.startswith(".")]
+    assert markers, "expected at least one committed batch"
+    last = max(markers, key=int)
+    os.remove(os.path.join(commits, last))
+    # also drop the local-FS checksum shadow, else Hadoop treats the
+    # commit rewrite as a conflicting concurrent writer
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    stream_pipeline(spark, src, lookups, out, do_parse=False)
+    got = spark.read.parquet(data).count()
+    got_sinks = {
+        r.sink: r.cnt
+        for r in spark.read.parquet(data)
+        .groupBy("sink").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want and got_sinks == want_sinks
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """A cross-batch out-of-order event (earlier than the stored `last`,
+    still within the watermark) must extend the open session without
+    moving its bounds backwards — the next on-time event would otherwise
+    falsely split the session (ADVICE r04)."""
+    import datetime as dt
+    import time as _time
+
+    from logboost_spark.plans.streaming import stream_sessionize
+
+    d = tmp_path / "src"
+    d.mkdir()
+    ddl = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+
+    def mk(name, rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(d / name))
+        _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    mk("f1", [(1, t0, 7, "a", 0.0, "{}"),
+              (2, t0 + dt.timedelta(minutes=10), 7, "a", 0.0, "{}")])
+    # out-of-order: 25 min BEFORE the session start, within the huge watermark
+    mk("f2", [(3, t0 - dt.timedelta(minutes=25), 7, "a", 0.0, "{}")])
+    # on-time: 20 min after the stored last (t0+10) -> same session; with
+    # the buggy "last = t" this looked like a 45-min gap and split
+    mk("f3", [(4, t0 + dt.timedelta(minutes=30), 7, "a", 0.0, "{}")])
+    mk("f4", [(9, dt.datetime(2030, 1, 1), 999, "sentinel", 0.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sess_ooo WHERE user_id = 7").collect()
+    assert len(rows) == 1, [tuple(r) for r in rows]
+    r = rows[0]
+    assert r.n_events == 4
+    assert r.session_start == t0 - dt.timedelta(minutes=25)
+    assert r.session_end == t0 + dt.timedelta(minutes=30)
+
+
+def test_cli_stream_dates_and_combine_match_batch(spark, tmp_path, capsys):
+    """--stream must honor --startdate/--enddate (applied per micro-batch
+    via the pre_enrich hook — previously silently ignored) and --combine
+    (combined union written from the drained data)."""
+    import json as J
+
+    import main as M
+
+    src = fixture_path("sf0.001")
+    lo = spark.read.parquet(src).agg(F.min("ts").alias("lo")).collect()[0].lo
+    day = lo.date().isoformat()
+    out_s = str(tmp_path / "stream_sinks")
+    rc = M.main([
+        "--input", src, "--output", out_s, "--stream",
+        "--no-whois", "--no-idb", "--no-parse",
+        "--startdate", day, "--enddate", day, "--combine",
+    ])
+    assert rc == 0
+    res = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out_b = str(tmp_path / "batch_sinks")
+    rc = M.main([
+        "--input", src, "--output", out_b,
+        "--no-whois", "--no-idb", "--no-parse", "--groups", "2",
+        "--startdate", day, "--enddate", day,
+    ])
+    assert rc == 0
+    batch = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {k: v for k, v in res["sink_counts"].items() if v}
+    want = {k: v for k, v in batch["sink_counts"].items() if v}
+    assert got == want and sum(want.values()) > 0
+    # the date window excluded something (else the filter proved nothing)
+    full = spark.read.parquet(src).count()
+    assert sum(want.values()) < full
+    assert os.path.exists(os.path.join(out_s, "combined"))

@@ -2068,9 +2068,12 @@ QUERIES = {
     "t_stream_exact_dedup": t_stream_exact_dedup,
     "t_stream_windowed_counts": t_stream_windowed_counts,
     # (d) gates whose code changes in round 5 (streaming sink rework,
-    #     sessionize ordering fix) — need fresh rows on the new code.
+    #     sessionize ordering fix, AutoDecoder dispatch) — need fresh
+    #     rows on the new code.
     "t_stream_pipeline": t_stream_pipeline,
     "t_stream_sessionize": t_stream_sessionize,
+    "t_media_features": t_media_features,
+    "t_media_frames": t_media_frames,
     # --- r04-proven gates on unchanged code (fill the window tail) ----------
     "doc_bpe_token_count": doc_bpe_token_count,
     "doc_decontaminate": doc_decontaminate,
@@ -2116,8 +2119,6 @@ QUERIES = {
     "t_fuzzy_headers": t_fuzzy_headers,
     "t_combine_sourcefile": t_combine_sourcefile,
     "t_combine_master": t_combine_master,
-    "t_media_features": t_media_features,
-    "t_media_frames": t_media_frames,
     "t_date_filter": t_date_filter,
     "t_pii_scrub": t_pii_scrub,
     "t_turn_order": t_turn_order,

@@ -6,10 +6,12 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 (the right shape for CPU-bound media work — batch amortizes the Python
 round trip, partitioning spreads media bytes across executors).
 
-The *decode* step is STUBBED (no PIL/ffmpeg in this container): it
-produces a deterministic fake feature vector derived from the payload
-bytes, clearly marked. The Spark-side plumbing — schema, batch
-iteration, partition sizing — is real and tested.
+Decode is dispatched per payload (:class:`AutoDecoder`): WAV audio
+decodes for REAL via stdlib ``wave`` (loudness-envelope features —
+exercised by tests in this container), images decode via PIL when
+importable, and everything else falls back to a clearly-marked
+deterministic sha256 stub. The Spark-side plumbing — schema, batch
+iteration, partition sizing — is identical whichever branch fires.
 """
 
 from __future__ import annotations
@@ -84,13 +86,82 @@ class StubDecoder(MediaDecoder):
         return [b / 255.0 for b in digest[: self.feature_dim]]
 
 
-def default_decoder() -> MediaDecoder:
-    """Return the best decoder importable in this environment.
+class WavDecoder(MediaDecoder):
+    """REAL audio decode via stdlib ``wave`` — no third-party codec
+    needed, so this branch genuinely runs in this container. Features:
+    the payload's PCM samples split into ``feature_dim`` equal windows,
+    mean absolute amplitude per window normalized to [0, 1] — a real
+    (if simple) loudness-envelope embedding. Raises on non-PCM16/8
+    payloads so bad media surfaces as task errors, per the
+    :class:`MediaDecoder` contract."""
 
-    Tries real media libraries first (none are baked into this
-    container, so the stub is what tests exercise); a production image
-    would land in the PIL branch without any caller change.
-    """
+    def decode(self, kind: str, payload: bytes) -> list[float]:
+        import io
+        import wave
+        from array import array
+
+        with wave.open(io.BytesIO(payload)) as w:
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if sw == 2:
+            samples = array("h", raw[: len(raw) - len(raw) % 2])
+            scale = 32768.0
+        elif sw == 1:  # unsigned 8-bit PCM centers on 128
+            samples = array("b", bytes(b - 128 for b in raw))
+            scale = 128.0
+        else:
+            raise ValueError(f"unsupported WAV sample width {sw}")
+        n = len(samples)
+        if n == 0:
+            return [0.0] * self.feature_dim
+        out = []
+        for k in range(self.feature_dim):
+            lo = k * n // self.feature_dim
+            hi = max((k + 1) * n // self.feature_dim, lo + 1)
+            seg = samples[lo:hi] if lo < n else samples[n - 1 :]
+            out.append(sum(abs(s) for s in seg) / len(seg) / scale)
+        return out
+
+
+class AutoDecoder(MediaDecoder):
+    """Per-payload dispatch: a REAL codec when the payload is genuinely
+    decodable in this environment, the sha256 stub otherwise.
+
+    * ``audio`` payloads carrying RIFF/WAVE magic → stdlib
+      :class:`WavDecoder` (always available — the real branch tests
+      exercise).
+    * ``image`` payloads → PIL when importable (not in this container).
+    * everything else → :class:`StubDecoder`, clearly fake.
+
+    All branches emit the same ``feature_dim``-float schema, so the
+    downstream plumbing (Arrow batches, _FEATURE_SCHEMA) is identical
+    whichever branch fires."""
+
+    def __init__(self, image_decoder: MediaDecoder | None = None):
+        self.image = image_decoder
+        self.wav = WavDecoder()
+        self.stub = StubDecoder()
+
+    def decode(self, kind: str, payload: bytes) -> list[float]:
+        if (
+            kind == "audio"
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"
+        ):
+            return self.wav.decode(kind, payload)
+        if kind == "image" and self.image is not None:
+            return self.image.decode(kind, payload)
+        return self.stub.decode(kind, payload)
+
+
+def default_decoder() -> MediaDecoder:
+    """Best decoder for this environment: an :class:`AutoDecoder` whose
+    audio branch (stdlib wave) is always real, whose image branch is
+    real iff PIL imports, and which falls back to the labeled stub for
+    everything else. The stub fixture's printable-ASCII payloads can
+    never carry RIFF magic (their bytes increment consecutively), so
+    gate oracles replaying the stub are unaffected."""
+    image: MediaDecoder | None = None
     try:  # pragma: no cover - PIL absent in this container
         from PIL import Image  # noqa: F401
 
@@ -103,9 +174,10 @@ def default_decoder() -> MediaDecoder:
                 img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
                 return (np.asarray(img, dtype="float32").ravel() / 255.0).tolist()
 
-        return PillowDecoder()
+        image = PillowDecoder()
     except ImportError:
-        return StubDecoder()
+        pass
+    return AutoDecoder(image_decoder=image)
 
 
 def extract_features(media: DataFrame, decoder: MediaDecoder | None = None) -> DataFrame:

@@ -1229,6 +1229,37 @@ def ann_topk_ivf(spark, sf_dir):
     return cosine_topk_ivf(emb, q, k=10, nprobe=4, dim=64, codebook=cb)
 
 
+def _ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Driver-checked ANN quality number: per-query count of approximate
+    top-10 neighbors that appear in the exact brute-force top-10
+    (all-integer — safe to hash cross-engine). Both engines run the
+    same deterministic algorithms, so the counts must match exactly;
+    a green row PINS the recall, it doesn't just sample it."""
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits_at_10"))
+    )
+
+
+def ann_recall_lsh(spark, sf_dir):
+    """recall@10 of the banded-hyperplane LSH path vs brute force
+    (VERDICT r04 #8): previously asserted only in pytest (0.92), now a
+    driver-visible integer gate."""
+    return _ann_recall(
+        ann_topk_lsh(spark, sf_dir), ann_topk_bruteforce(spark, sf_dir)
+    )
+
+
+def ann_recall_ivf(spark, sf_dir):
+    """recall@10 of the IVF nprobe path vs brute force — the scale
+    path's quality number, driver-checked."""
+    return _ann_recall(
+        ann_topk_ivf(spark, sf_dir), ann_topk_bruteforce(spark, sf_dir)
+    )
+
+
 def emb_near_dups(spark, sf_dir):
     from .operators.dedup import embedding_near_dups
 
@@ -1427,6 +1458,56 @@ def build_oracles(sf: str = "sf0.01") -> dict[str, str]:
     simhash_sum = " + ".join(
         f"CASE WHEN v{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END" for j in range(32)
     )
+
+    # ANN oracle SQL factored to locals so the recall gates can compose
+    # the brute-force and approximate result sets in one query
+    _ann_bf_sql = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+      FROM q, c WHERE neighbor_id <> query_id),
+r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10"""
+    _ann_lsh_sql = f"""
+WITH cb AS ({X.hyperplane_band_union_sql(
+            'embedding', 'vec_id AS neighbor_id',
+            'SELECT vec_id, embedding FROM embeddings', 12, 6, 64)}),
+qb AS ({X.hyperplane_band_union_sql(
+            'embedding', 'vec_id AS query_id',
+            'SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5', 12, 6, 64)}),
+cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+         FROM cb c JOIN qb q ON c.band = q.band AND c.bkey = q.bkey
+         WHERE c.neighbor_id <> q.query_id),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT cand.query_id, cand.neighbor_id,
+        list_cosine_similarity(qv.v, nv.v) AS cos
+      FROM cand JOIN cv qv ON qv.vec_id = cand.query_id
+                JOIN cv nv ON nv.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10"""
+
+    _ann_ivf_sql = f"""
+WITH cc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        {X.ivf_assign_sql('embedding', cb_ivf) if cb_ivf is not None else 'NULL'} AS cell
+      FROM embeddings),
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        unnest({X.ivf_probe_structs_sql('embedding', cb_ivf) if cb_ivf is not None else '[]'}) AS u
+      FROM embeddings WHERE vec_id < 5),
+probes AS (SELECT query_id, qv, u.cell AS cell,
+        row_number() OVER (PARTITION BY query_id ORDER BY u.s DESC, u.cell) AS prk
+      FROM qs),
+cand AS (SELECT p.query_id, p.qv, c.neighbor_id, c.cv
+      FROM probes p JOIN cc c ON c.cell = p.cell
+      WHERE p.prk <= 4 AND c.neighbor_id <> p.query_id),
+s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos FROM cand),
+r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10"""
 
     oracles = {
         # --- transcripts -----------------------------------------------
@@ -1934,58 +2015,27 @@ p AS (
 SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
 FROM p WHERE inter / (na + nb - inter) >= 0.6""",
         # --- embeddings ----------------------------------------------------
-        "ann_topk_bruteforce": """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
-      FROM q, c WHERE neighbor_id <> query_id),
-r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
-        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-      FROM s)
-SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10""",
+        "ann_topk_bruteforce": _ann_bf_sql,
         "emb_near_dups": """
 WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va FROM embeddings),
 b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb FROM embeddings)
 SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 5) AS cos
 FROM a JOIN b ON id_a < id_b
 WHERE list_cosine_similarity(va, vb) >= 0.45""",
-        "ann_topk_lsh": f"""
-WITH cb AS ({X.hyperplane_band_union_sql(
-            'embedding', 'vec_id AS neighbor_id',
-            'SELECT vec_id, embedding FROM embeddings', 12, 6, 64)}),
-qb AS ({X.hyperplane_band_union_sql(
-            'embedding', 'vec_id AS query_id',
-            'SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5', 12, 6, 64)}),
-cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
-         FROM cb c JOIN qb q ON c.band = q.band AND c.bkey = q.bkey
-         WHERE c.neighbor_id <> q.query_id),
-cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-s AS (SELECT cand.query_id, cand.neighbor_id,
-        list_cosine_similarity(qv.v, nv.v) AS cos
-      FROM cand JOIN cv qv ON qv.vec_id = cand.query_id
-                JOIN cv nv ON nv.vec_id = cand.neighbor_id),
-r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
-        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-      FROM s)
-SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10""",
-        "ann_topk_ivf": f"""
-WITH cc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
-        {X.ivf_assign_sql('embedding', cb_ivf) if cb_ivf is not None else 'NULL'} AS cell
-      FROM embeddings),
-qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-        unnest({X.ivf_probe_structs_sql('embedding', cb_ivf) if cb_ivf is not None else '[]'}) AS u
-      FROM embeddings WHERE vec_id < 5),
-probes AS (SELECT query_id, qv, u.cell AS cell,
-        row_number() OVER (PARTITION BY query_id ORDER BY u.s DESC, u.cell) AS prk
-      FROM qs),
-cand AS (SELECT p.query_id, p.qv, c.neighbor_id, c.cv
-      FROM probes p JOIN cc c ON c.cell = p.cell
-      WHERE p.prk <= 4 AND c.neighbor_id <> p.query_id),
-s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos FROM cand),
-r AS (SELECT query_id, neighbor_id, round(cos, 5) AS cos,
-        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-      FROM s)
-SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 10""",
+        "ann_topk_lsh": _ann_lsh_sql,
+        "ann_topk_ivf": _ann_ivf_sql,
+        "ann_recall_lsh": f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_ann_bf_sql})),
+ap AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_sql}))
+SELECT bf.query_id, count(*) AS hits_at_10
+FROM bf JOIN ap ON bf.query_id = ap.query_id AND bf.neighbor_id = ap.neighbor_id
+GROUP BY 1""",
+        "ann_recall_ivf": f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_ann_bf_sql})),
+ap AS (SELECT query_id, neighbor_id FROM ({_ann_ivf_sql}))
+SELECT bf.query_id, count(*) AS hits_at_10
+FROM bf JOIN ap ON bf.query_id = ap.query_id AND bf.neighbor_id = ap.neighbor_id
+GROUP BY 1""",
         "emb_near_dups_lsh": f"""
 WITH bk AS ({X.hyperplane_band_union_sql(
             'embedding', 'vec_id',
@@ -2025,6 +2075,7 @@ WHERE vec_id NOT IN (SELECT id FROM drops)""",
     }
     if cb_ivf is None:
         del oracles["ann_topk_ivf"]
+        del oracles["ann_recall_ivf"]
     return oracles
 
 
@@ -2067,6 +2118,8 @@ QUERIES = {
     "doc_bpe_scalable": doc_bpe_scalable,
     "t_stream_exact_dedup": t_stream_exact_dedup,
     "t_stream_windowed_counts": t_stream_windowed_counts,
+    "ann_recall_lsh": ann_recall_lsh,
+    "ann_recall_ivf": ann_recall_ivf,
     # (d) gates whose code changes in round 5 (streaming sink rework,
     #     sessionize ordering fix, AutoDecoder dispatch) — need fresh
     #     rows on the new code.

@@ -940,6 +940,26 @@ def doc_bpe_scalable(spark, sf_dir):
     )
 
 
+def doc_bpe_scalable_2k(spark, sf_dir):
+    """The production-vocab path AT a production-shaped vocabulary: the
+    priority-queue encoder under the 2000-merge table
+    (data/lookups/bpe_merges_2k.json). The oracle replays all 2000
+    merges as a 32-stage DuckDB replace-chain — a tree Spark could not
+    even plan as expressions (2000 nested calls), which is exactly why
+    the heap encoder exists. A green row is driver-grade proof the
+    scalable encoder is byte-equivalent to the definitional chain at
+    10× the fixture vocab."""
+    from .functions.textfns import make_bpe_token_count_udf
+
+    cnt = make_bpe_token_count_udf(_merges_2k())
+    d = _t_par(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        cnt(F.col("text")).alias("n_tokens"),
+    )
+
+
 def doc_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     f = quality_features(F.col("text"))
@@ -1299,26 +1319,39 @@ def emb_dedup_apply(spark, sf_dir):
 # ===========================================================================
 
 
-def _bpe_ctes(extra: tuple[str, ...] = ()) -> tuple[str, str]:
-    """The learned-BPE tokenizer as a DuckDB replace() chain — the exact
-    SQL mirror of functions.textfns.bpe_encode (same merge fixture).
-    Staged through CTEs of ≤64 merges each: DuckDB's binder caps
-    expression recursion at 128 frames. Returns (cte_block, last_name);
-    the last CTE yields (doc_id, n_chars, t) with every char of ``t``
-    one BPE token."""
-    from .fixtures.bpe_vocab import MERGES
+def _bpe_ctes(
+    extra: tuple[str, ...] = (), merges=None
+) -> tuple[str, str]:
+    """A learned-BPE tokenizer as a DuckDB replace() chain — the exact
+    SQL mirror of applying ``merges`` in rank order (defaults to the
+    192-merge fixture of functions.textfns.bpe_encode; pass the
+    2000-merge table for the production-vocab oracle). Staged through
+    CTEs of ≤64 merges each: DuckDB's binder caps expression recursion
+    at 128 frames. Returns (cte_block, last_name); the last CTE yields
+    (doc_id, n_chars, t) with every char of ``t`` one BPE token."""
+    if merges is None:
+        from .fixtures.bpe_vocab import MERGES as merges
 
     cols = "doc_id, n_chars" + "".join(f", {c}" for c in extra)
     ctes, prev, i = [], "documents", 0
-    for lo in range(0, len(MERGES), 64):
+    for lo in range(0, len(merges), 64):
         e = "text" if lo == 0 else "t"
-        for a, b, n in MERGES[lo : lo + 64]:
+        for a, b, n in merges[lo : lo + 64]:
             pair = (a + b).replace("'", "''")
             new = n.replace("'", "''")
             e = f"replace({e}, '{pair}', '{new}')"
         ctes.append(f"b{i} AS (SELECT {cols}, {e} AS t FROM {prev})")
         prev, i = f"b{i}", i + 1
     return ",\n".join(ctes), prev
+
+
+def _merges_2k():
+    from .functions.textfns import load_merges_json
+
+    return load_merges_json(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "data", "lookups", "bpe_merges_2k.json")
+    )
 
 
 def _bpe_token_count_sql() -> str:
@@ -1811,6 +1844,8 @@ FROM documents""",
         # scalable encoder vs the SAME chain oracle: proves algorithm
         # equivalence, not just engine parity
         "doc_bpe_scalable": _bpe_token_count_sql(),
+        # ...and at the 2000-merge production-shaped vocab (32-stage CTE chain)
+        "doc_bpe_scalable_2k": (lambda c: f"WITH {c[0]}\nSELECT doc_id, n_chars, CAST(length(t) AS BIGINT) AS n_tokens FROM {c[1]}")(_bpe_ctes(merges=_merges_2k())),
         "doc_decontaminate": f"""
 WITH bench AS (
   SELECT DISTINCT unnest({X.sql_shingles('text', 3)}) AS _g
@@ -2116,6 +2151,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     # (c) round-5 gates (new code) — inserted here as they land.
     "doc_bpe_scalable": doc_bpe_scalable,
+    "doc_bpe_scalable_2k": doc_bpe_scalable_2k,
     "t_stream_exact_dedup": t_stream_exact_dedup,
     "t_stream_windowed_counts": t_stream_windowed_counts,
     "ann_recall_lsh": ann_recall_lsh,

@@ -38,6 +38,18 @@ _DEFAULTS = {
     # return to defaults.
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 * 1024 * 1024),
+    # Sink compression: zstd level 1 instead of snappy. Measured on the
+    # pinned pipeline (round 5, interleaved reps under host noise):
+    # local[32]@16M ~101s vs ~108s snappy, local[2]@4M ~210s vs ~227s —
+    # faster at BOTH core counts, because zstd-1 compresses ~30-40%
+    # smaller at near-snappy speed, and fewer bytes through the sink is
+    # less traffic on the shared memory bus (the saturated-pair
+    # bottleneck) and less I/O on a real cluster. Level 1 explicitly:
+    # parquet's default level 3 pays more compression CPU for little
+    # extra ratio on this data. (zstd SHUFFLE codec and ParallelGC were
+    # also screened and measured slower; dictionary-off was worse.)
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.hadoop.parquet.compression.codec.zstd.level": "1",
     # InferFiltersFromConstraints explodes combinatorially on the staged
     # alias chains feeding the CIDR range joins (driver pinned for minutes
     # hashing constraint trees — measured 22s→175s per added join). The

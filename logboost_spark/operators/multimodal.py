@@ -107,7 +107,10 @@ class WavDecoder(MediaDecoder):
             samples = array("h", raw[: len(raw) - len(raw) % 2])
             scale = 32768.0
         elif sw == 1:  # unsigned 8-bit PCM centers on 128
-            samples = array("b", bytes(b - 128 for b in raw))
+            # bytes() rejects negatives — recenter via wrap-around, which
+            # array('b') reads back as the signed value (b-128 mod 256 ≡
+            # b-128 in two's complement for b in 0..255)
+            samples = array("b", bytes((b - 128) & 0xFF for b in raw))
             scale = 128.0
         else:
             raise ValueError(f"unsupported WAV sample width {sw}")

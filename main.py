@@ -168,8 +168,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         # streaming writes no group manifests — count from the data itself
         from pyspark.sql import functions as F
+        from pyspark.errors import AnalysisException
 
-        streamed = spark.read.parquet(os.path.join(args.output, "data"))
+        try:
+            streamed = spark.read.parquet(os.path.join(args.output, "data"))
+        except AnalysisException:
+            # every micro-batch emptied (e.g. a date window matching no
+            # rows): the sink holds no part files, so schema inference
+            # fails — report zero counts like the batch path does
+            print(json.dumps({"streamed": True, "sink_counts": {}}))
+            return 0
         counts = {
             r.sink: r.cnt
             for r in streamed.groupBy("sink")

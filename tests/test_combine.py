@@ -153,6 +153,6 @@ def test_media_real_wav_decode_branch(spark):
 
     # stub branch unchanged for non-WAV payloads
     stub = StubDecoder()
-    assert [abs(a - b) < 1e-6 for a, b in zip(feats[2], stub.decode("audio", rows[2][2]))]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(feats[2], stub.decode("audio", rows[2][2])))
     auto = AutoDecoder()
     assert auto.decode("image", b"fake image bytes") == stub.decode("image", b"fake image bytes")

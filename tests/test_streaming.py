@@ -361,3 +361,15 @@ def test_cli_stream_dates_and_combine_match_batch(spark, tmp_path, capsys):
     full = spark.read.parquet(src).count()
     assert sum(want.values()) < full
     assert os.path.exists(os.path.join(out_s, "combined"))
+
+    # a window matching NOTHING must exit 0 with empty counts, not crash
+    # on schema inference over a part-file-less sink (batch path parity)
+    out_e = str(tmp_path / "stream_empty")
+    rc = M.main([
+        "--input", src, "--output", out_e, "--stream",
+        "--no-whois", "--no-idb", "--no-parse",
+        "--startdate", "1999-01-01", "--enddate", "1999-01-02",
+    ])
+    assert rc == 0
+    empty = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert empty["sink_counts"] == {}

@@ -536,6 +536,37 @@ def t_csv_lazyquotes(spark, sf_dir):
     return df.select(F.col("id").cast("long").alias("id"), "message", "source")
 
 
+def t_kv_custom(spark, sf_dir):
+    """P9 parameterized KV template (reference parse_kv.go:18-21 builds
+    the pair regex from the -separator/-delimiter flags, main.go:52-54):
+    'k:v;'-style lines parsed with separator ':' delimiter ';' through
+    the SAME router (custom detection gate → str_to_map first-separator
+    split → quote strip). Every line must classify as 'kv' (the oracle
+    pins the literal), values keep embedded separators past the first
+    (timestamps), quoted values lose their quotes. Entries projected as
+    a sorted 'k=v|...' string for cross-engine value hashing."""
+    lines = (
+        spark.read.text(os.path.join(FILES_DIR, "kv_custom.log"))
+        .withColumnRenamed("value", "text")
+    )
+    df = parse_stage(lines, kv_separator=":", kv_delimiter=";")
+    entries = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("fields")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        "|",
+    )
+    return df.select(
+        "format",
+        F.col("fields")["timestamp"].alias("ts"),
+        F.col("fields")["source"].alias("source"),
+        entries.alias("entries"),
+    )
+
+
 def t_combine_union(spark, sf_dir):
     """S9/F7 combine sink: mixed-schema union aligned by column name,
     missing columns null (helpers/helpers.go:765-847)."""
@@ -1703,6 +1734,22 @@ SELECT p[1] AS "date", p[2] AS "time", p[3] AS "c-ip",
 FROM d WHERE len(p) = 5""",
         "t_csv_lazyquotes": f"""
 SELECT id, message, source FROM read_csv('{FILES_DIR}/quoted.csv')""",
+        "t_kv_custom": f"""
+WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line
+             FROM read_text('{FILES_DIR}/kv_custom.log')),
+l AS (SELECT trim(line) AS t FROM raw WHERE trim(line) <> ''),
+k AS (SELECT t, list_transform(string_split_regex(t, ';\\s*'),
+        q -> struct_pack(
+          k := regexp_extract(q, '^([^:]+):', 1),
+          v := regexp_replace(regexp_extract(q, '^[^:]+:(.*)$', 1),
+                              '^"|"$', '', 'g'))) AS kvs
+      FROM l)
+SELECT 'kv' AS format,
+  list_filter(kvs, x -> x.k = 'timestamp')[1].v AS ts,
+  list_filter(kvs, x -> x.k = 'source')[1].v AS source,
+  array_to_string(list_sort(list_transform(kvs, x -> x.k || '=' || x.v)), '|')
+    AS entries
+FROM k""",
         "t_combine_union": """
 SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS user_id
 FROM events WHERE event_id % 2 = 0
@@ -2115,21 +2162,75 @@ WHERE vec_id NOT IN (SELECT id FROM drops)""",
 
 
 QUERIES = {
-    # --- Driver-window front-load (round 5) ---------------------------------
+    # --- Driver-window front-load (round 6) ---------------------------------
     # The driver's harness checks the FIRST 50 entries of this dict per round.
     # Window policy (VERDICT r04 #1): any gate whose code (or a shared helper
     # on its path) changed since its last driver row goes FIRST; new gates go
     # in the front block; gates with rows on unchanged code fill the rest.
     #
-    # (a) minhash family — their shared shingle helper (_element_hashes /
-    #     explode_outer rewrite, dedup.py) changed in r4 AFTER their last
-    #     driver rows (r03); re-prove on current code.
+    # (a) round-6 gates (new code).
+    "t_kv_custom": t_kv_custom,
+    # (b) gates on files touched in r5 whose last rows are r04
+    #     (checkpoint.py, readers.py, textfns.py — VERDICT r05 #2).
+    "t_route_counts": t_route_counts,
+    "t_pipeline_full": t_pipeline_full,
+    "t_pipeline_whois": t_pipeline_whois,
+    "t_turn_order": t_turn_order,
+    "t_iis_reader": t_iis_reader,
+    "t_csv_lazyquotes": t_csv_lazyquotes,
+    "t_pii_scrub": t_pii_scrub,
+    # (c) last rows r04 (past the r5 window) — rotate in.
+    "doc_token_repetition": doc_token_repetition,
+    "doc_vocab_topk": doc_vocab_topk,
+    "doc_simhash": doc_simhash,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    # (d) parse-router gates: formats.py changed in r6 (KV template
+    #     parameterization) — every gate through detect_format/parse_stage
+    #     re-proves on the new code.
+    "t_parse_formats": t_parse_formats,
+    "t_parse_fields": t_parse_fields,
+    "t_parse_maps": t_parse_maps,
+    "t_parse_json_flat": t_parse_json_flat,
+    "t_extra_keys": t_extra_keys,
+    "t_full_parse_keys": t_full_parse_keys,
+    # (e) the remaining r04-row transcript gates (stale rows, unchanged code).
+    "t_ip_extract": t_ip_extract,
+    "t_class_counts": t_class_counts,
+    "t_geo_enrich": t_geo_enrich,
+    "t_ti_agg": t_ti_agg,
+    "t_ip_source_ipcol": t_ip_source_ipcol,
+    "t_ip_source_jsoncol": t_ip_source_jsoncol,
+    "t_multiline_records": t_multiline_records,
+    "t_combine_union": t_combine_union,
+    "t_fuzzy_headers": t_fuzzy_headers,
+    "t_combine_sourcefile": t_combine_sourcefile,
+    "t_combine_master": t_combine_master,
+    "t_date_filter": t_date_filter,
+    # (f) textfns.py touched in r6 (bpe_ranks duplicate-pair guard) —
+    #     the BPE/LM/quality family re-proves on the new code.
+    "doc_bpe_token_count": doc_bpe_token_count,
+    "doc_bpe_scalable": doc_bpe_scalable,
+    "doc_bpe_scalable_2k": doc_bpe_scalable_2k,
+    "doc_lm_score": doc_lm_score,
+    "corpus_health_report": corpus_health_report,
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_chunk_windows": doc_chunk_windows,
+    "doc_token_counts": doc_token_counts,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    # (g) streaming.py touched in r6 (KV threading + determinism contract).
+    "t_stream_pipeline": t_stream_pipeline,
+    "t_stream_exact_dedup": t_stream_exact_dedup,
+    "t_stream_windowed_counts": t_stream_windowed_counts,
+    "t_stream_sessionize": t_stream_sessionize,
+    # (h) r5-proven fill to 50 — dedup family (highest-value re-proof).
     "doc_minhash_sigs": doc_minhash_sigs,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dedup_apply": doc_dedup_apply,
-    # (b) the 19 other gates whose last rows are r01-r03 — rotate in so every
-    #     row in CORRECTNESS_r05 is on post-round-4 code.
+    "doc_exact_dedup": doc_exact_dedup,
+    # --- past-the-window: r05-proven rows, code untouched in r6 -------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_by_priority": q3_revenue_by_priority,
     "q5_region_volume": q5_region_volume,
@@ -2144,71 +2245,20 @@ QUERIES = {
     "ti_category_counts_q": ti_category_counts_q,
     "ti_summary_q": ti_summary_q,
     "ti_feed_listing_q": ti_feed_listing_q,
-    "doc_exact_dedup": doc_exact_dedup,
-    "doc_token_counts": doc_token_counts,
-    "doc_quality": doc_quality,
-    "doc_lang_id": doc_lang_id,
-    "doc_fingerprints": doc_fingerprints,
-    # (c) round-5 gates (new code) — inserted here as they land.
-    "doc_bpe_scalable": doc_bpe_scalable,
-    "doc_bpe_scalable_2k": doc_bpe_scalable_2k,
-    "t_stream_exact_dedup": t_stream_exact_dedup,
-    "t_stream_windowed_counts": t_stream_windowed_counts,
-    "ann_recall_lsh": ann_recall_lsh,
-    "ann_recall_ivf": ann_recall_ivf,
-    # (d) gates whose code changes in round 5 (streaming sink rework,
-    #     sessionize ordering fix, AutoDecoder dispatch) — need fresh
-    #     rows on the new code.
-    "t_stream_pipeline": t_stream_pipeline,
-    "t_stream_sessionize": t_stream_sessionize,
-    "t_media_features": t_media_features,
-    "t_media_frames": t_media_frames,
-    # --- r04-proven gates on unchanged code (fill the window tail) ----------
-    "doc_bpe_token_count": doc_bpe_token_count,
     "doc_decontaminate": doc_decontaminate,
-    "doc_pack_sequences": doc_pack_sequences,
-    "doc_chunk_windows": doc_chunk_windows,
-    "doc_lm_score": doc_lm_score,
     "doc_mixture_sample": doc_mixture_sample,
-    "corpus_health_report": corpus_health_report,
     "emb_dedup_apply": emb_dedup_apply,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_recall_lsh": ann_recall_lsh,
+    "ann_recall_ivf": ann_recall_ivf,
     "emb_near_dups": emb_near_dups,
     "emb_near_dups_lsh": emb_near_dups_lsh,
     "emb_normalize_quant": emb_normalize_quant,
     "doc_sample_hash": doc_sample_hash,
     "doc_split_assign": doc_split_assign,
     "doc_group_capped": doc_group_capped,
-    "doc_token_repetition": doc_token_repetition,
-    "doc_vocab_topk": doc_vocab_topk,
-    "doc_simhash": doc_simhash,
-    "doc_ngram_jaccard": doc_ngram_jaccard,
-    # --- past-the-window: r04-proven, code untouched in r5 ------------------
-    "t_ip_extract": t_ip_extract,
-    "t_class_counts": t_class_counts,
-    "t_geo_enrich": t_geo_enrich,
-    "t_ti_agg": t_ti_agg,
-    "t_route_counts": t_route_counts,
-    "t_pipeline_full": t_pipeline_full,
-    "t_pipeline_whois": t_pipeline_whois,
-    "t_parse_formats": t_parse_formats,
-    "t_parse_fields": t_parse_fields,
-    "t_parse_maps": t_parse_maps,
-    "t_parse_json_flat": t_parse_json_flat,
-    "t_extra_keys": t_extra_keys,
-    "t_full_parse_keys": t_full_parse_keys,
-    "t_ip_source_ipcol": t_ip_source_ipcol,
-    "t_ip_source_jsoncol": t_ip_source_jsoncol,
-    "t_multiline_records": t_multiline_records,
-    "t_iis_reader": t_iis_reader,
-    "t_csv_lazyquotes": t_csv_lazyquotes,
-    "t_combine_union": t_combine_union,
-    "t_fuzzy_headers": t_fuzzy_headers,
-    "t_combine_sourcefile": t_combine_sourcefile,
-    "t_combine_master": t_combine_master,
-    "t_date_filter": t_date_filter,
-    "t_pii_scrub": t_pii_scrub,
-    "t_turn_order": t_turn_order,
+    "t_media_features": t_media_features,
+    "t_media_frames": t_media_frames,
 }

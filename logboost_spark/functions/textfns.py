@@ -70,8 +70,19 @@ def bpe_token_count(text: Column) -> Column:
 
 def bpe_ranks(merges) -> dict:
     """Merge list → ``{(left, right): (rank, new_symbol)}`` lookup for
-    the priority-queue encoder."""
-    return {(a, b): (i, n) for i, (a, b, n) in enumerate(merges)}
+    the priority-queue encoder. A repeated (left, right) pair would
+    silently last-win here while the definitional replace chain (and the
+    DuckDB oracle) applies the FIRST occurrence — impossible from
+    tools/train_bpe.py output, so fail loudly on external/hand-edited
+    tables instead of mis-tokenizing (ADVICE r05)."""
+    ranks = {(a, b): (i, n) for i, (a, b, n) in enumerate(merges)}
+    if len(ranks) != len(merges):
+        raise ValueError(
+            "duplicate (left, right) pair in BPE merge table: the "
+            "priority-queue encoder would diverge from the rank-order "
+            "replace chain"
+        )
+    return ranks
 
 
 def _bpe_encode_str(s: str, ranks: dict) -> str:

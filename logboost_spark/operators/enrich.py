@@ -111,6 +111,13 @@ def enrich(
     jobs) don't recompute it. On a cluster with unreliable local disks
     prefer `spark.checkpoint.dir` + .checkpoint(), or stage the
     extraction to a table.
+
+    CONTRACT: every stage here is deterministic over its input rows
+    (broadcast lookups are fixed tables; no sampling, no wall-clock
+    reads, no monotonically_increasing_id). The streaming sink's
+    exactly-once replay (plans/streaming.stream_pipeline) depends on
+    this — a nondeterministic enrichment would silently weaken the
+    crash-rerun guarantee from identical-content to same-cardinality.
     """
     df = ip_extract_stage(
         df, text_col, ip_col_name=ip_col_name, json_col_name=json_col_name

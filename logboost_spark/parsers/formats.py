@@ -31,6 +31,7 @@ each reference parser:
 from __future__ import annotations
 
 import json
+import re
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -59,6 +60,20 @@ SYSLOG_5424_RE = r"(<\d{1,5}>)(\d)\s(\d{4}-\d{1,2}-\d{1,2}T\d{2}:\d{2}:\d{2}\.\d
 SYSLOG_GENERIC_RE = r"^([a-zA-Z]{3}\s{1,3}\d{1,2}\s\d{1,2}:\d{2}:\d{2})\s(?:<.+>\s)?([^\s].*?)\s(.*?)\[?(\d{0,6})\]?:\s(.*)"
 KV_PAIR_RE = r'([^=\s]+)="?([^,]+?)"?(?:,|$)'
 
+#: KV template knobs (reference parse_kv.go:18-21 builds the pair regex
+#: from -separator/-delimiter, main.go:52-54; defaults '=' and ',')
+KV_SEPARATOR_DEFAULT = "="
+KV_DELIMITER_DEFAULT = ","
+
+
+def kv_pair_re(separator: str = KV_SEPARATOR_DEFAULT,
+               delimiter: str = KV_DELIMITER_DEFAULT) -> str:
+    """The reference's KV pair regex template instantiated for a custom
+    separator/delimiter (parse_kv.go:21:
+    ``(?P<key>[^%v\\s]+)%v\"{0,1}(?P<value>[^%v]+)\"{0,1}%v?``)."""
+    s, d = re.escape(separator), re.escape(delimiter)
+    return rf'([^{s}\s]+){s}"?([^{d}]+?)"?(?:{d}|$)'
+
 _CLF_COMMON_GROUPS = [
     "client", "identity", "user", "timestamp", "httpmethod",
     "httpresource", "httpversion", "httpstatus", "bytes",
@@ -70,7 +85,11 @@ def _anchored(r: str) -> str:
     return "^" + r + "$"
 
 
-def detect_format(text: Column) -> Column:
+def detect_format(
+    text: Column,
+    kv_separator: str = KV_SEPARATOR_DEFAULT,
+    kv_delimiter: str = KV_DELIMITER_DEFAULT,
+) -> Column:
     """The P11 router: detector precedence chain as a when-cascade.
 
     Each expensive (lazy-quantifier / unanchored) regex is gated behind a
@@ -86,6 +105,7 @@ def detect_format(text: Column) -> Column:
     t = F.trim(text)
     clf_gate = t.contains("[") & t.contains('"')
     syslog_pfx = t.startswith("<")
+    kv_re = kv_pair_re(kv_separator, kv_delimiter)
     return (
         F.when(t.startswith("#Fields:"), F.lit("iis_w3c"))
         .when(t.startswith('{"Records":['), F.lit("json_multi"))
@@ -96,7 +116,7 @@ def detect_format(text: Column) -> Column:
         .when(syslog_pfx & t.rlike("^" + SYSLOG_5424_RE), F.lit("syslog_rfc5424"))
         .when(syslog_pfx & t.rlike("^" + SYSLOG_3164_RE), F.lit("syslog_rfc3164"))
         .when(t.rlike(SYSLOG_GENERIC_RE), F.lit("syslog_generic"))
-        .when(t.contains("=") & t.rlike(KV_PAIR_RE + r".*" + KV_PAIR_RE), F.lit("kv"))
+        .when(t.contains(kv_separator) & t.rlike(kv_re + r".*" + kv_re), F.lit("kv"))
         .otherwise(F.lit("raw"))
     )
 
@@ -194,9 +214,19 @@ def _cef(text: Column) -> Column:
     return F.map_concat(_cef_prefix(text), headers, F.coalesce(ext_map, _empty_map()))
 
 
-def _kv(text: Column) -> Column:
-    """k=v pairs, comma-delimited, optional quotes (parse_kv.go:18)."""
-    m = F.str_to_map(text, F.lit(r",\s*"), F.lit("="))
+def _kv(
+    text: Column,
+    separator: str = KV_SEPARATOR_DEFAULT,
+    delimiter: str = KV_DELIMITER_DEFAULT,
+) -> Column:
+    """k=v pairs, delimiter-separated, optional quotes — the reference's
+    configurable template (parse_kv.go:18-21; -separator/-delimiter
+    flags main.go:52-54), defaults k=v comma-delimited."""
+    m = F.str_to_map(
+        text,
+        F.lit(re.escape(delimiter) + r"\s*"),
+        F.lit(re.escape(separator)),
+    )
     return F.transform_values(m, lambda _, v: F.regexp_replace(v, r'^"|"$', ""))
 
 
@@ -277,7 +307,12 @@ def json_flatten(texts: pd.Series) -> pd.Series:
     return texts.map(_flatten_one)
 
 
-def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
+def parse_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    kv_separator: str = KV_SEPARATOR_DEFAULT,
+    kv_delimiter: str = KV_DELIMITER_DEFAULT,
+) -> DataFrame:
     """Append ``format`` + ``fields`` columns (the P1-P11 parse stage).
 
     Spark hoists pandas UDFs out of ``when`` branches (ArrowEvalPython
@@ -290,7 +325,7 @@ def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     input stage — the masked single pass keeps one scan.)
     """
     t = F.col(text_col)
-    df = df.withColumn("format", detect_format(t))
+    df = df.withColumn("format", detect_format(t, kv_separator, kv_delimiter))
     fmt = F.col("format")
     is_json = fmt.isin("json", "json_multi")
     empty = F.map_from_arrays(
@@ -305,7 +340,7 @@ def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(fmt == "syslog_rfc5424", _syslog(t, "rfc5424"))
         .when(fmt == "syslog_rfc3164", _syslog(t, "rfc3164"))
         .when(fmt == "syslog_generic", _syslog(t, "generic"))
-        .when(fmt == "kv", _kv(t))
+        .when(fmt == "kv", _kv(t, kv_separator, kv_delimiter))
         .otherwise(empty)
     )
     return df.withColumn("fields", F.coalesce(fields, empty))

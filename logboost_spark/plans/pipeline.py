@@ -52,6 +52,9 @@ def run_pipeline(
     raw_fallthrough: bool = True,
     stage_barrier: bool = False,
     group_col_name: str | None = None,
+    kv_separator: str = "=",
+    kv_delimiter: str = ",",
+    full_parse: bool = False,
     **enrich_flags,
 ) -> list[dict]:
     """Full run; returns the lineage manifest entries written.
@@ -73,12 +76,20 @@ def run_pipeline(
     # before the single routed shuffle.
     df = enrich(df, lookups, **enrich_flags)
     if do_parse:
-        df = parse_stage(df)
+        df = parse_stage(df, kv_separator=kv_separator, kv_delimiter=kv_delimiter)
         if not raw_fallthrough:
             # reference main.go:442: content with no recognized parser is
             # processed as raw ONLY under -getall/-rawtxt; otherwise it is
             # skipped (per-file there, per-line in this engine's model)
             df = df.filter(F.col("format") != "raw")
+        if full_parse:
+            # -fullparse (main.go:56): project the fields map to one
+            # column per key seen ANYWHERE in the input — the key-union
+            # aggregation is the distributed twin of the reference's
+            # first full-file scan (parsers/extra_keys.deep_keys)
+            from ..parsers.extra_keys import full_project
+
+            df = full_project(df)
     routed = route_stage(df)
     if stage_barrier:
         routed = routed.localCheckpoint(eager=False)

@@ -125,6 +125,8 @@ def stream_pipeline(
     do_parse: bool = True,
     max_files_per_trigger: int | None = None,
     pre_enrich=None,
+    kv_separator: str = "=",
+    kv_delimiter: str = ",",
     **enrich_flags,
 ):
     """Drain (availableNow) or tail (processing-time trigger) the input
@@ -165,9 +167,17 @@ def stream_pipeline(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if pre_enrich is not None:
             batch_df = pre_enrich(batch_df)
+        # NOTE: every stage in here (enrich broadcast joins, parse
+        # when-cascade, route) must stay DETERMINISTIC over the replayed
+        # file set — the overwrite-by-batch_id sink's exactly-once
+        # contract (docstring above) depends on a crash-rerun of batch N
+        # producing byte-identical content. Adding a nondeterministic
+        # stage (sampling, now()-style timestamps,
+        # monotonically_increasing_id) here silently weakens the replay
+        # to same-cardinality-different-rows.
         df = enrich(batch_df, lookups, **enrich_flags)
         if do_parse:
-            df = parse_stage(df)
+            df = parse_stage(df, kv_separator=kv_separator, kv_delimiter=kv_delimiter)
         route_stage(df).write.mode("overwrite").partitionBy("sink").parquet(
             os.path.join(data_dir, f"batch_id={batch_id}")
         )

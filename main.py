@@ -13,7 +13,9 @@ Mirrors the reference's flag surface (main.go:24-105) on Spark terms:
 Reference-flag mapping: -logdir→--input, -outputdir→--output,
 -startdate/-enddate/-datecol/-dateformat→same names, -useti/-usedns/
 -usewhois/-useidb→--no-* inverses (enrichments default ON here),
--ipcol/-jsoncol→same, -combine→--combine. Concurrency knobs
+-ipcol/-jsoncol→same, -combine→--combine, -separator/-delimiter→
+--kvseparator/--kvdelimiter, -fullparse→--fullparse,
+-summarizeti/-tifeeds/-ip→same names (report modes). Concurrency knobs
 (-maxgoperfile/-batchsize/-concurrentfiles/-writebuffer) have no
 equivalent: Spark's scheduler owns parallelism.
 """
@@ -32,10 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="logboost_spark pipeline")
     p.add_argument(
         "--input",
-        required=True,
+        default=None,
         help="transcript table path (parquet), or with --input-format logs a "
         "directory of raw .csv/.log/.txt(.gz) files (recursive discovery, "
-        "reference findLogsToProcess main.go:144-171)",
+        "reference findLogsToProcess main.go:144-171); required unless a "
+        "report flag (--summarizeti/--tifeeds/--ip) is used",
     )
     p.add_argument(
         "--input-format",
@@ -58,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
         "(reference -rawtxt, main.go:43,442); without this or --getall, "
         "unrecognized content is skipped",
     )
-    p.add_argument("--output", required=True, help="sink root directory")
+    p.add_argument("--output", default=None,
+                   help="sink root directory (required unless a report flag is used)")
     p.add_argument("--startdate", default=None)
     p.add_argument("--enddate", default=None)
     p.add_argument("--datecol", default="ts")
@@ -70,6 +74,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-whois", action="store_true")
     p.add_argument("--no-idb", action="store_true")
     p.add_argument("--no-parse", action="store_true")
+    p.add_argument(
+        "--kvseparator",
+        default="=",
+        help="KV separator between key and value (reference -separator, "
+        "main.go:33; e.g. ':' for 'k1:v1;k2:v2' logs)",
+    )
+    p.add_argument(
+        "--kvdelimiter",
+        default=",",
+        help="KV delimiter between pairs (reference -delimiter, main.go:34; "
+        "e.g. ';' for 'k1:v1;k2:v2' logs)",
+    )
+    p.add_argument(
+        "--fullparse",
+        action="store_true",
+        help="scan the whole input for the key union and project the parsed "
+        "fields map to one column per key (reference -fullparse, main.go:56); "
+        "without it sinks keep the fields map column",
+    )
+    p.add_argument(
+        "--summarizeti",
+        action="store_true",
+        help="report mode: print distinct-indicator count of the TI table as "
+        "JSON and exit (reference -summarizeti, main.go:547-555)",
+    )
+    p.add_argument(
+        "--tifeeds",
+        action="store_true",
+        help="report mode: print per-feed indicator counts as JSON and exit "
+        "(reference -tifeeds, main.go:557-565)",
+    )
+    p.add_argument(
+        "--ip",
+        default=None,
+        help="ad-hoc mode: extract and print the first public (else first) IP "
+        "from the given string via the pipeline's F2 extraction, then exit "
+        "(reference -ip, main.go:588-598)",
+    )
     p.add_argument("--groups", type=int, default=8, help="commit groups (resume units)")
     p.add_argument(
         "--group-col",
@@ -107,20 +149,28 @@ def main(argv: list[str] | None = None) -> int:
     from logboost_spark.plans.pipeline import run_pipeline, date_filter
     from logboost_spark.plans.checkpoint import read_sinks, sink_counts
 
+    report_mode = args.summarizeti or args.tifeeds or args.ip is not None
+    if not report_mode and (args.input is None or args.output is None):
+        print("--input and --output are required", file=sys.stderr)
+        return 2
     if args.stream and args.input_format != "parquet":
         print("--stream requires --input-format parquet", file=sys.stderr)
         return 2
     spark = get_spark(app_name="logboost_spark_cli", cores=args.cores)
-    if args.input_format == "logs":
-        from logboost_spark.sources.readers import read_log_directory
+    if args.ip is not None:
+        # reference main.go:588-598: validate/extract via the SAME F2
+        # extraction the pipeline uses (RegexFirstPublicIPFromString),
+        # echo the IP, exit; invalid input is an error
+        from logboost_spark.functions.ip import ip_extract_stage
 
-        transcripts = read_log_directory(spark, args.input, getall=args.getall)
-    else:
-        transcripts = spark.read.parquet(args.input)
-    if args.startdate and args.enddate:
-        transcripts = date_filter(
-            transcripts, args.datecol, args.dateformat, args.startdate, args.enddate
-        )
+        row = ip_extract_stage(
+            spark.createDataFrame([(args.ip,)], "text string")
+        ).select("_ip", "_cls").first()
+        if row["_cls"] == "noip":
+            print(f"Invalid IP Address: {args.ip}", file=sys.stderr)
+            return 2
+        print(row["_ip"])
+        return 0
     lookups = build_lookup_dfs(spark)
     intel_flags = [args.intelfile, args.intelname, args.inteltype]
     if any(intel_flags):
@@ -138,6 +188,40 @@ def main(argv: list[str] | None = None) -> int:
         )
         lookups["ti"] = lookups["ti"].unionByName(custom).dropDuplicates(
             ["ip", "feed_name", "category"]
+        )
+    if args.summarizeti:
+        # reference -summarizeti (main.go:547-555 → SummarizeThreatDB):
+        # distinct indicator count over the TI table (+ any --intelfile)
+        from logboost_spark.operators.ti_build import summarize_ti, ti_category_counts
+
+        n = summarize_ti(lookups["ti"]).first()["distinct_ips"]
+        cats = {
+            r.category: r.cnt for r in ti_category_counts(lookups["ti"]).collect()
+        }
+        print(json.dumps({"distinct_ips": n, "category_counts": cats},
+                         sort_keys=True))
+        return 0
+    if args.tifeeds:
+        # reference -tifeeds (main.go:557-565 → SummarizeThreatFeeds)
+        from logboost_spark.operators.ti_build import ti_feed_listing
+
+        feeds = [
+            {"feed_name": r.feed_name, "distinct_ips": r.distinct_ips,
+             "rows": r.rows}
+            for r in ti_feed_listing(lookups["ti"])
+            .orderBy("feed_name").collect()
+        ]
+        print(json.dumps({"feeds": feeds}))
+        return 0
+    if args.input_format == "logs":
+        from logboost_spark.sources.readers import read_log_directory
+
+        transcripts = read_log_directory(spark, args.input, getall=args.getall)
+    else:
+        transcripts = spark.read.parquet(args.input)
+    if args.startdate and args.enddate:
+        transcripts = date_filter(
+            transcripts, args.datecol, args.dateformat, args.startdate, args.enddate
         )
     if args.stream:
         from logboost_spark.plans.streaming import stream_pipeline
@@ -159,6 +243,8 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             do_parse=not args.no_parse,
             pre_enrich=pre,
+            kv_separator=args.kvseparator,
+            kv_delimiter=args.kvdelimiter,
             use_ti=not args.no_ti,
             use_dns=not args.no_dns,
             use_whois=not args.no_whois,
@@ -199,6 +285,9 @@ def main(argv: list[str] | None = None) -> int:
         n_groups=args.groups,
         group_col_name=args.group_col,
         do_parse=not args.no_parse,
+        kv_separator=args.kvseparator,
+        kv_delimiter=args.kvdelimiter,
+        full_parse=args.fullparse,
         raw_fallthrough=(
             args.input_format != "logs" or args.getall or args.rawtxt
         ),

@@ -253,3 +253,27 @@ def test_detect_gates_equal_ungated_cascade(spark):
         .collect()
     )
     assert not bad, [(r.text[:60], r.gated, r.ungated) for r in bad[:5]]
+
+
+def test_kv_custom_separator_delimiter(spark):
+    """P9 template knobs (parse_kv.go:18-21; -separator/-delimiter,
+    main.go:52-54): 'k:v;' lines detect and parse under (':', ';'),
+    fall to raw under the default ('=', ','); values keep separators
+    past the first split and lose surrounding quotes."""
+    line = 'ts:2024-01-01T10:20:30;src:auth;msg:"hello world";n:42'
+    df = spark.createDataFrame([(line,)], "text string")
+    custom = parse_stage(df, kv_separator=":", kv_delimiter=";").first()
+    assert custom.format == "kv"
+    assert dict(custom.fields) == {
+        "ts": "2024-01-01T10:20:30",
+        "src": "auth",
+        "msg": "hello world",
+        "n": "42",
+    }
+    default = parse_stage(df).first()
+    assert default.format == "raw"
+    # and the inverse: a default-template line under the custom knobs
+    kv_line = "a=1,b=2"
+    both = spark.createDataFrame([(kv_line,)], "text string")
+    assert parse_stage(both).first().format == "kv"
+    assert parse_stage(both, kv_separator=":", kv_delimiter=";").first().format == "raw"

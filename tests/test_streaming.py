@@ -4,7 +4,6 @@ event time. Kept at sf0.001 — streaming adds per-micro-batch overhead,
 not per-row semantics."""
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -15,9 +14,9 @@ from logboost_spark.plans.route import route_stage
 from logboost_spark.plans.streaming import stream_pipeline, stream_windowed_counts
 
 
-def test_stream_drain_equals_batch(spark):
+def test_stream_drain_equals_batch(spark, tmp_path):
     src = fixture_path("sf0.001")
-    out = tempfile.mkdtemp(prefix="lb_stream_test_")
+    out = str(tmp_path / "stream_out")
     lookups = build_lookup_dfs(spark)
     stream_pipeline(spark, src, lookups, out, do_parse=False)
     got = {
@@ -230,17 +229,18 @@ def test_stream_exact_dedup_bounded_state(spark, tmp_path):
     assert {r.text: r.doc_id for r in rows}["beta"] == 2
 
 
-def test_stream_pipeline_crash_rerun_idempotent(spark):
+def test_stream_pipeline_crash_rerun_idempotent(spark, tmp_path):
     """Exactly-once END TO END: simulate a crash in the window between
     the sink write and the checkpoint commit (delete the batch's commit
     marker, keep its offsets entry and its written files), then restart.
     Spark re-executes the batch; the overwrite-by-batch-id sink must
     replace data/batch_id=N with identical content — zero duplicate
     rows — where the old append sink doubled that batch."""
-    import shutil
-
+    # tmp_path (pytest-managed, bounded retention): a mkdtemp here leaked
+    # /tmp/lb_stream_crash_* whenever an assert fired before the trailing
+    # rmtree (VERDICT r05 nit)
     src = fixture_path("sf0.001")
-    out = tempfile.mkdtemp(prefix="lb_stream_crash_")
+    out = str(tmp_path / "crash_out")
     lookups = build_lookup_dfs(spark)
     stream_pipeline(spark, src, lookups, out, do_parse=False)
     data = os.path.join(out, "data")
@@ -270,7 +270,6 @@ def test_stream_pipeline_crash_rerun_idempotent(spark):
         .groupBy("sink").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got == want and got_sinks == want_sinks
-    shutil.rmtree(out, ignore_errors=True)
 
 
 def test_stream_sessionize_out_of_order_across_batches(spark, tmp_path):

@@ -192,6 +192,38 @@ def main():
             pipeline_big_turns_per_sec=int(BIG_ROWS / big_med),
         )
 
+    # -- skew-stress evidence (VERDICT r05 #8): one conv owns ~10% --------
+    # of all rows end-to-end. The salted route shuffle (plans/route.py
+    # salted_repartition: key = (conv_id, pmod(hash(turn_idx), 64))) must
+    # keep wall-time near the uniform run instead of melting one task;
+    # skew_ratio is the driver-visible number for that claim. turn_idx
+    # keeps its per-source values (duplicates inside the hot conv are
+    # harmless and preserve the salt key's cardinality).
+    if os.environ.get("BENCH_SKEW", "1") != "0":
+        skew_cache = os.path.join(
+            ROOT, "data", f"bench_transcripts_skew_{PIPELINE_ROWS}_g{N_GROUPS}"
+        )
+        if not os.path.exists(os.path.join(skew_cache, "_SUCCESS")):
+            hot = F.pmod(F.xxhash64("conv_id", F.lit(41)), F.lit(10)) == 0
+            (
+                transcripts.withColumn(
+                    "conv_id", F.when(hot, F.lit("conv-hot")).otherwise(F.col("conv_id"))
+                )
+                .withColumn("cgroup", F.pmod(F.xxhash64("conv_id"), F.lit(N_GROUPS)))
+                .repartition(CPUS * 2)
+                .write.partitionBy("cgroup")
+                .mode("overwrite")
+                .parquet(skew_cache)
+            )
+        skewed = spark.read.parquet(skew_cache)
+        skew_runs = _time_pipeline(spark, skewed, lookups, out_dir, REPS)
+        skew_med = statistics.median(skew_runs)
+        result.update(
+            pipeline_skew_e2e=skew_med,
+            pipeline_skew_e2e_runs=skew_runs,
+            pipeline_skew_ratio=round(skew_med / timings["pipeline_e2e"], 3),
+        )
+
     # -- scaling evidence (measured separately, fresh pinned JVMs) -------
     scaling_path = os.path.join(ROOT, "BENCH", "scaling.json")
     if os.path.exists(scaling_path):

@@ -94,6 +94,21 @@ def build_parser() -> argparse.ArgumentParser:
         "without it sinks keep the fields map column",
     )
     p.add_argument(
+        "--buildti",
+        action="store_true",
+        help="TI-build entry point (reference -buildti, main.go:503-515 → "
+        "BuildThreatDB): ingest every *.txt feed under --feeddir (feed_name "
+        "= file stem, category = containing subdir, else 'unknown') into "
+        "--output/ti.parquet, then print the summary report",
+    )
+    p.add_argument(
+        "--updateti",
+        action="store_true",
+        help="like --buildti but insert-or-ignore MERGES into an existing "
+        "--output/ti.parquet (reference -updateti)",
+    )
+    p.add_argument("--feeddir", default=None, help="feed directory for --buildti/--updateti")
+    p.add_argument(
         "--summarizeti",
         action="store_true",
         help="report mode: print distinct-indicator count of the TI table as "
@@ -150,7 +165,11 @@ def main(argv: list[str] | None = None) -> int:
     from logboost_spark.plans.checkpoint import read_sinks, sink_counts
 
     report_mode = args.summarizeti or args.tifeeds or args.ip is not None
-    if not report_mode and (args.input is None or args.output is None):
+    ti_build_mode = args.buildti or args.updateti
+    if ti_build_mode and (args.feeddir is None or args.output is None):
+        print("--buildti/--updateti require --feeddir and --output", file=sys.stderr)
+        return 2
+    if not report_mode and not ti_build_mode and (args.input is None or args.output is None):
         print("--input and --output are required", file=sys.stderr)
         return 2
     if args.stream and args.input_format != "parquet":
@@ -170,6 +189,52 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Invalid IP Address: {args.ip}", file=sys.stderr)
             return 2
         print(row["_ip"])
+        return 0
+    if ti_build_mode:
+        # reference BuildThreatDB (threatIntel.go:117-156): per feed file,
+        # IngestFile line semantics (comment/blank skip, first IPv4,
+        # private filter, insert-or-ignore). HTTP download is replaced by
+        # the local --feeddir per the offline design (SURVEY §1.4); the
+        # SQLite star schema is the flat (ip, feed_name, category) table.
+        import glob
+
+        from logboost_spark.operators.ti_build import build_ti_table, summarize_ti
+
+        feed_files = sorted(
+            glob.glob(os.path.join(args.feeddir, "**", "*.txt"), recursive=True)
+        )
+        if not feed_files:
+            print(f"no *.txt feeds under {args.feeddir}", file=sys.stderr)
+            return 2
+        feeds = []
+        for path in feed_files:
+            name = os.path.splitext(os.path.basename(path))[0]
+            parent = os.path.dirname(os.path.abspath(path))
+            cat = (
+                os.path.basename(parent)
+                if parent != os.path.abspath(args.feeddir)
+                else "unknown"
+            )
+            feeds.append(
+                (name, cat, spark.read.text(path).withColumnRenamed("value", "line"))
+            )
+        ti = build_ti_table(spark, feeds)
+        out_path = os.path.join(args.output, "ti.parquet")
+        if args.updateti and os.path.exists(out_path):
+            ti = (
+                spark.read.parquet(out_path)
+                .unionByName(ti)
+                .dropDuplicates(["ip", "feed_name", "category"])
+            )
+        # materialize before overwriting a path the plan may read from
+        ti = ti.localCheckpoint(eager=True)
+        ti.write.mode("overwrite").parquet(out_path)
+        n_rows = ti.count()
+        n_ips = summarize_ti(ti).first()["distinct_ips"]
+        print(json.dumps({
+            "ti_path": out_path, "feeds_ingested": len(feeds),
+            "rows": n_rows, "distinct_ips": n_ips,
+        }))
         return 0
     lookups = build_lookup_dfs(spark)
     intel_flags = [args.intelfile, args.intelname, args.inteltype]

@@ -159,3 +159,38 @@ def test_cli_fullparse(spark, kvdir, tmp_path, capsys):
     shallow = read_sinks(spark, out_shallow)
     assert "fields" in shallow.columns
     assert "query_ms" not in shallow.columns
+
+
+def test_cli_buildti_and_updateti(spark, tmp_path, capsys):
+    """Reference -buildti/-updateti (main.go:503-515 → BuildThreatDB):
+    feed files ingest with IngestFile line semantics (comment/blank skip,
+    first IPv4, private filter, insert-or-ignore); category comes from
+    the feed's subdirectory; -updateti merges into the existing table."""
+    fd = tmp_path / "feeds"
+    (fd / "malware").mkdir(parents=True)
+    (fd / "tor_nodes.txt").write_text("# tor feed\n8.8.8.8\n10.0.0.1\n8.8.8.8\n\n")
+    (fd / "malware" / "bad_ips.txt").write_text("1.2.3.4 seen today\n5.6.7.8\n")
+    out = str(tmp_path / "tidb")
+    rc = M.main(["--buildti", "--feeddir", str(fd), "--output", out])
+    assert rc == 0
+    res = _last_json(capsys)
+    assert res["feeds_ingested"] == 2
+    assert res["rows"] == 3 and res["distinct_ips"] == 3
+    rows = {
+        (r.ip, r.feed_name, r.category)
+        for r in spark.read.parquet(out + "/ti.parquet").collect()
+    }
+    assert rows == {
+        ("8.8.8.8", "tor_nodes", "unknown"),
+        ("1.2.3.4", "bad_ips", "malware"),
+        ("5.6.7.8", "bad_ips", "malware"),
+    }
+    # update: an extra feed, one indicator overlapping an existing one
+    (fd / "extra.txt").write_text("9.9.9.9\n8.8.8.8\n")
+    rc = M.main(["--updateti", "--feeddir", str(fd), "--output", out])
+    assert rc == 0
+    res2 = _last_json(capsys)
+    assert res2["rows"] == 5 and res2["distinct_ips"] == 4
+    # flag hygiene
+    assert M.main(["--buildti", "--output", out]) == 2
+    assert M.main(["--buildti", "--feeddir", str(tmp_path / "empty"), "--output", out]) == 2

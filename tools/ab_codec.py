@@ -37,6 +37,16 @@ VARIANTS = {
     # empty override = session._DEFAULTS (currently zstd level 1)
     "zstd1": {},
 }
+if os.environ.get("AB_VARIANTS") == "offheap":
+    # second use (VERDICT r05 #5 follow-up): confirm the profiler's
+    # off-heap win under the interleaved protocol before adopting it
+    VARIANTS = {
+        "baseline": {},
+        "offheap16g": {
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": str(16 * 1024**3),
+        },
+    }
 
 CHILD = r"""
 import json, os, shutil, sys, time
@@ -47,7 +57,8 @@ from logboost_spark.plans.pipeline import run_pipeline
 
 conf = json.loads({conf!r})
 spark = get_spark(app_name="ab_codec", cores={cores}, extra_conf=conf)
-assert spark.conf.get("spark.sql.parquet.compression.codec") == {codec!r}
+if {codec!r}:
+    assert spark.conf.get("spark.sql.parquet.compression.codec") == {codec!r}
 transcripts = spark.read.parquet({cache!r})
 lookups = build_lookup_dfs(spark)
 out = "/tmp/ab_codec_sinks"
@@ -70,11 +81,16 @@ print("RESULT " + json.dumps({{"cold": walls[0], "warm": walls[1],
 
 def child(codec: str, cache: str) -> dict:
     conf = VARIANTS[codec]
+    expect = ""
+    if codec == "snappy":
+        expect = "snappy"
+    elif codec == "zstd1":
+        expect = "zstd"
     code = CHILD.format(
         root=ROOT,
         conf=json.dumps(conf),
         cores=CORES,
-        codec="snappy" if codec == "snappy" else "zstd",
+        codec=expect,
         cache=cache,
     )
     cmd = ["taskset", "-c", f"0-{CORES - 1}", sys.executable, "-c", code]
@@ -147,9 +163,12 @@ def main():
         "results": results,
     }
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "ab_codec.json"), "w") as f:
+    name = "ab_codec.json"
+    if os.environ.get("AB_VARIANTS"):
+        name = f"ab_{os.environ['AB_VARIANTS']}.json"
+    with open(os.path.join(ROOT, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote BENCH/ab_codec.json")
+    print("wrote BENCH/" + name)
 
 
 if __name__ == "__main__":

@@ -2191,10 +2191,14 @@ hits AS (SELECT r.nprobe, count(*) AS h
                     AND bf.neighbor_id = r.neighbor_id
       WHERE r.rk <= 10 GROUP BY r.nprobe),
 cnt AS (SELECT nprobe, count(*) AS c FROM cand GROUP BY nprobe)
-SELECT cnt.nprobe AS nprobe,
+-- drive the final rows from ns, not cnt: the Spark side's global
+-- (no-groupBy) aggregates emit a (nprobe, 0, 0) row even when a sweep
+-- point has zero candidates, so the oracle must too
+SELECT ns.nprobe AS nprobe,
        CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits_at_10,
-       CAST(cnt.c AS BIGINT) AS cand_rows
-FROM cnt LEFT JOIN hits ON hits.nprobe = cnt.nprobe""",
+       CAST(COALESCE(cnt.c, 0) AS BIGINT) AS cand_rows
+FROM ns LEFT JOIN cnt ON cnt.nprobe = ns.nprobe
+        LEFT JOIN hits ON hits.nprobe = ns.nprobe""",
         "emb_near_dups_lsh": f"""
 WITH bk AS ({X.hyperplane_band_union_sql(
             'embedding', 'vec_id',

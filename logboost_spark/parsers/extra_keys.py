@@ -68,9 +68,17 @@ def shallow_project(
             lambda e: F.concat(e["key"], F.lit(":"), e["value"], F.lit(", ")),
         ),
     )
-    cols = [m[k].alias(k) for k in known_keys]
-    return df.select(
-        *[c for c in df.columns if c != fields_col],
-        *cols,
-        extra_str.alias(EXTRA_KEYS_COL),
-    )
+    # a parsed key may collide with a pipeline column ('ts', 'role',
+    # 'text', ... are common log keys); suffix the PARSED side so the
+    # projection never emits duplicate names (the reference has no
+    # collision space — its output holds only parsed headers)
+    carried = [c for c in df.columns if c != fields_col]
+    taken = set(carried) | {EXTRA_KEYS_COL}
+    cols = []
+    for k in known_keys:
+        name = k if k not in taken else f"{k}_parsed"
+        while name in taken:  # pathological: both k and k_parsed exist
+            name += "_"
+        taken.add(name)
+        cols.append(m[k].alias(name))
+    return df.select(*carried, *cols, extra_str.alias(EXTRA_KEYS_COL))

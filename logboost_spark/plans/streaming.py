@@ -96,6 +96,8 @@ def stream_enriched(
     schema: str = TRANSCRIPT_DDL,
     do_parse: bool = True,
     max_files_per_trigger: int | None = None,
+    kv_separator: str = "=",
+    kv_delimiter: str = ",",
     **enrich_flags,
 ) -> DataFrame:
     """readStream → parse/enrich/route IN the streaming plan; returns the
@@ -110,7 +112,7 @@ def stream_enriched(
     enrich_flags.setdefault("use_idb", False)
     df = enrich(src, lookups, barrier=False, **enrich_flags)
     if do_parse:
-        df = parse_stage(df)
+        df = parse_stage(df, kv_separator=kv_separator, kv_delimiter=kv_delimiter)
     return route_stage(df)
 
 

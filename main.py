@@ -175,6 +175,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream and args.input_format != "parquet":
         print("--stream requires --input-format parquet", file=sys.stderr)
         return 2
+    if args.fullparse and (args.stream or args.no_parse):
+        # fail loudly instead of silently writing the fields-map schema
+        # the user asked to have projected away (round-6 self-review)
+        print("--fullparse requires the batch parse path "
+              "(not --stream / --no-parse)", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="logboost_spark_cli", cores=args.cores)
     if args.ip is not None:
         # reference main.go:588-598: validate/extract via the SAME F2

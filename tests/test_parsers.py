@@ -277,3 +277,21 @@ def test_kv_custom_separator_delimiter(spark):
     both = spark.createDataFrame([(kv_line,)], "text string")
     assert parse_stage(both).first().format == "kv"
     assert parse_stage(both, kv_separator=":", kv_delimiter=";").first().format == "raw"
+
+
+def test_fullparse_key_collision_suffix(spark):
+    """A parsed key that collides with a pipeline column ('ts' here) must
+    project as '<key>_parsed' instead of emitting duplicate column names
+    (--fullparse crashed on common keys like ts/role before round 6)."""
+    from logboost_spark.parsers.extra_keys import full_project
+
+    df = spark.createDataFrame(
+        [("2030-01-01", "ts=2024-05-05,msg=hello,n=1")], "ts string, text string"
+    )
+    out = full_project(parse_stage(df))
+    assert len(out.columns) == len(set(out.columns))
+    row = out.first()
+    assert "ts_parsed" in out.columns and "msg" in out.columns
+    assert row["ts"] == "2030-01-01"          # pipeline column untouched
+    assert row["ts_parsed"] == "2024-05-05"   # parsed key suffixed
+    assert row["msg"] == "hello"

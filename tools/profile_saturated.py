@@ -158,7 +158,14 @@ def run_profiled(cores: int, gc_log: str, extra: dict | None = None) -> dict:
     if os.path.exists(gc_log):
         with open(gc_log) as f:
             for line in f:
-                m = re.search(r"Pause[^)]*\)[^0-9]*([\d.]+)ms", line)
+                # unified-logging pause lines end "... 24M->8M(254M) 3.456ms";
+                # match the TRAILING ms value on any Pause line (an earlier
+                # r"Pause[^)]*\)[^0-9]*([\d.]+)ms" form could not cross the
+                # heap-size digits and silently missed every Young/Full
+                # pause — caught by the round-6 self-review)
+                if "Pause" not in line:
+                    continue
+                m = re.search(r"\s([\d.]+)ms\s*$", line)
                 if m:
                     gc_ms += float(m.group(1))
                     n_gc += 1

@@ -221,17 +221,29 @@ def enrich(
     if use_ti:
         ip_lookups.append(ti_by_ip(lookups["ti"]).withColumnRenamed("ip", "_ipk"))
     if use_dns:
-        dp = lookups["dns_ptr"].select(
-            F.col("ip").alias("_ipk"),
-            # pipe-join precomputed lookup-side (dimension rows), not per
-            # fact row
-            F.array_join("domains", "|").alias("_domains_str"),
-            # TLD parse on the LOOKUP side (dimension-sized): the fact
-            # table never touches Python — the pandas UDF runs once per
-            # PTR record before the broadcast. (Fact-side `when` branches
-            # would be hoisted by Spark and run on EVERY row.)
-            tld_of(F.get(F.col("domains"), 0)).alias("_tld_lk"),
-        )
+        dp_src = lookups["dns_ptr"]
+        if "domains_joined" in dp_src.columns and "tld" in dp_src.columns:
+            # fixture-precomputed columns (tools/build_fixtures.py runs
+            # the SAME parse_psl_domain): no per-action ArrowEvalPython,
+            # the dns lookup side stays all-JVM
+            dp = dp_src.select(
+                F.col("ip").alias("_ipk"),
+                F.col("domains_joined").alias("_domains_str"),
+                F.col("tld").alias("_tld_lk"),
+            )
+        else:
+            dp = dp_src.select(
+                F.col("ip").alias("_ipk"),
+                # pipe-join precomputed lookup-side (dimension rows), not
+                # per fact row
+                F.array_join("domains", "|").alias("_domains_str"),
+                # TLD parse on the LOOKUP side (dimension-sized): the
+                # fact table never touches Python — the pandas UDF runs
+                # once per PTR record before the broadcast. (Fact-side
+                # `when` branches would be hoisted by Spark and run on
+                # EVERY row.)
+                tld_of(F.get(F.col("domains"), 0)).alias("_tld_lk"),
+            )
         ip_lookups.append(dp)
     if use_whois:
         ip_lookups.append(
@@ -261,12 +273,40 @@ def enrich(
         # outer can't broadcast (it would plan lookup-side SortMergeJoins);
         # left joins of dimension-sized frames stay BroadcastHashJoin all
         # the way down, keeping the whole enrich plan shuffle-free.
-        keys = ip_lookups[0].select("_ipk")
-        for lk in ip_lookups[1:]:
-            keys = keys.union(lk.select("_ipk"))
-        combined = keys.distinct()
-        for lk in ip_lookups:
-            combined = combined.join(F.broadcast(lk), "_ipk", "left")
+        #
+        # The combined table is MATERIALIZED once per (lookups dict,
+        # flags): without this every Spark ACTION (each per-group commit
+        # job, every bench rep) re-ran the lookup-side pre-join — two
+        # aggregation exchanges, a union-distinct, and the tld_of
+        # ArrowEvalPython (spawning Python workers) — measured as tens of
+        # seconds of mostly-idle stage time per pipeline run (guide §1.1:
+        # the time was going to broadcast builds, not the fact scan).
+        # Dimension-sized (~1k rows), so the one-time driver collect is
+        # the same pattern as the precomputed geo_merged fixture; the
+        # re-created 1-partition frame makes every later broadcast build
+        # a single trivial task.
+        cache_key = ("_combined_ip", use_ti, use_dns, use_whois, use_idb)
+        if cache_key not in lookups:
+            keys = ip_lookups[0].select("_ipk")
+            for lk in ip_lookups[1:]:
+                keys = keys.union(lk.select("_ipk"))
+            combined = keys.distinct()
+            for lk in ip_lookups:
+                combined = combined.join(F.broadcast(lk), "_ipk", "left")
+            # session-temp parquet round-trip, NOT createDataFrame(rows):
+            # a rows-list frame scans through a pickled Python RDD and
+            # would re-pay a Python worker on every later broadcast
+            # build; the parquet read-back is a trivial JVM scan.
+            # Dimension-only data, removed at interpreter exit.
+            import atexit
+            import shutil
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="lb_combined_lookup_")
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            combined.coalesce(1).write.mode("overwrite").parquet(d)
+            lookups[cache_key] = df.sparkSession.read.parquet(d)
+        combined = lookups[cache_key]
         df = df.join(
             F.broadcast(combined), df["_join_ip"] == combined["_ipk"], "left"
         ).drop("_ipk")

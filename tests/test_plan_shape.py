@@ -18,10 +18,11 @@ def test_enrich_all_joins_broadcast(spark, lookups):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # fact side must never shuffle
     # ONE merged geo range join + ONE combined ip-keyed join (ti/dns/
-    # whois-ip/idb pre-joined lookup-side, also via broadcast) +
-    # whois-domain: fact-side broadcast probes = 3; the rest are
-    # lookup-side pre-joins
-    assert plan.count("BroadcastHashJoin") >= 6
+    # whois-ip/idb pre-joined lookup-side ONCE per session, then
+    # materialized as a 1-partition local frame — the pre-join no longer
+    # appears in per-query plans) + whois-domain: exactly the 3 fact-side
+    # broadcast probes
+    assert plan.count("BroadcastHashJoin") == 3
 
 
 def test_parquet_filter_pushdown(spark):

@@ -254,6 +254,12 @@ def build_lookup_dfs(spark, parquet_dir: str | None = None):
     generators (tools/build_fixtures.py, byte-stable, oracle-shared).
     The in-memory path remains as fallback for environments without the
     fixture checkout.
+
+    CONTRACT: the returned dict is the per-session shared instance (it
+    doubles as the cache slot for derived dimension tables). Callers
+    that want to REPLACE an entry (e.g. main.py's --intelfile TI merge)
+    must take a shallow ``dict(...)`` copy first; adding private
+    derived-cache keys is fine.
     """
     if parquet_dir is None:
         parquet_dir = LOOKUP_PARQUET_DIR

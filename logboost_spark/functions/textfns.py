@@ -145,11 +145,42 @@ def _bpe_encode_str(s: str, ranks: dict) -> str:
     return "".join(c for c, ok in zip(sym, alive) if ok)
 
 
+#: vocab size up to which the C-level replace chain beats the Python
+#: heap encoder. The chain is O(len·n_merges) but each pass is a native
+#: str.find/str.replace (SIMD substring search); the heap is
+#: O(len·log len) but every step is interpreted Python. Measured on the
+#: sf0.1 documents fixture at 2000 merges: replace chain 2.2 Mchar/s vs
+#: heap 1.4 Mchar/s per core — crossover is far above this bound, while
+#: a 50k-merge production vocabulary still rides the heap path.
+_REPLACE_CHAIN_MAX_MERGES = 4096
+
+
+def _make_str_encoder(merges):
+    """str → encoded-symbol-string callable; picks the faster of the two
+    PROVABLY equivalent encoders for the vocab size (see
+    :func:`_bpe_encode_str`'s equivalence argument; cross-checked by
+    tests/test_bpe.py and the doc_bpe_scalable* driver gates)."""
+    ranks = bpe_ranks(merges)  # keeps the duplicate-pair fail-loud guard
+    if len(merges) <= _REPLACE_CHAIN_MAX_MERGES:
+        pairs = [(a + b, n) for a, b, n in merges]
+
+        def _enc_chain(s: str) -> str:
+            for ab, n in pairs:
+                if ab in s:
+                    s = s.replace(ab, n)
+            return s
+
+        return _enc_chain
+    return lambda s: _bpe_encode_str(s, ranks)
+
+
 def make_bpe_encode_udf(merges=None):
-    """Arrow-batched scalar pandas UDF applying the priority-queue
-    encoder. ``merges`` defaults to the fixture vocabulary; pass a
-    larger table (e.g. the 2k-merge JSON under data/lookups/) for the
-    production-vocab path. The ranks dict rides the task closure —
+    """Arrow-batched scalar pandas UDF applying the learned-BPE encoder
+    (replace chain at fixture/2k vocab sizes, priority-queue heap for
+    production vocabularies — identical output, see _make_str_encoder).
+    ``merges`` defaults to the fixture vocabulary; pass a larger table
+    (e.g. the 2k-merge JSON under data/lookups/) for the
+    production-vocab path. The merge table rides the task closure —
     ~100 KB at 2k merges; a 50k-merge deployment would move it to a
     SparkContext broadcast, same encoder."""
     from pyspark.sql import types as T
@@ -157,11 +188,11 @@ def make_bpe_encode_udf(merges=None):
 
     if merges is None:
         from ..fixtures.bpe_vocab import MERGES as merges
-    ranks = bpe_ranks(merges)
+    enc = _make_str_encoder(merges)
 
     @pandas_udf(T.StringType())
     def _enc(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda s: None if s is None else _bpe_encode_str(s, ranks))
+        return texts.map(lambda s: None if s is None else enc(s))
 
     return _enc
 
@@ -175,13 +206,11 @@ def make_bpe_token_count_udf(merges=None):
 
     if merges is None:
         from ..fixtures.bpe_vocab import MERGES as merges
-    ranks = bpe_ranks(merges)
+    enc = _make_str_encoder(merges)
 
     @pandas_udf(T.LongType())
     def _cnt(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda s: None if s is None else len(_bpe_encode_str(s, ranks))
-        )
+        return texts.map(lambda s: None if s is None else len(enc(s)))
 
     return _cnt
 
@@ -204,10 +233,19 @@ def bpe_lm_score(text: Column) -> Column:
     replace chain, the log-prob table is a constant-foldable literal
     map, and the fold over tokens is a sequential array aggregate —
     bit-identical to the DuckDB oracle's list_aggregate fold. Empty
-    docs score NULL."""
+    docs score NULL.
+
+    When the caller ALSO needs the token count, stage ``bpe_encode``
+    into a column once and use :func:`bpe_lm_score_from_encoded` +
+    ``F.length`` — inlining both ran the ~190-pass replace chain twice
+    per row (Catalyst does not CSE across aggregate expressions)."""
+    return bpe_lm_score_from_encoded(bpe_encode(text))
+
+
+def bpe_lm_score_from_encoded(enc: Column) -> Column:
+    """:func:`bpe_lm_score` over an already-encoded symbol string."""
     from ..fixtures.bpe_vocab import TOKEN_LOGPROB, UNK_LOGPROB
 
-    enc = bpe_encode(text)
     toks = F.split(enc, "")
     m = F.map_from_arrays(
         F.array(*[F.lit(k) for k in TOKEN_LOGPROB]),

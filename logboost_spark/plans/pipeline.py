@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.goformat import go_layout_to_jvm
-from ..operators.enrich import enrich
 from ..parsers.formats import parse_stage
 from .checkpoint import write_routed
 from .route import route_stage
@@ -69,35 +68,72 @@ def run_pipeline(
     df = transcripts
     if start is not None and end is not None:
         df = date_filter(df, "ts", None, start, end)
-    # ORDER MATTERS: enrichment's broadcast joins re-copy every row per
-    # operator; carrying the parse stage's map<string,string> column
-    # through them measured ~16× slower than enriching slim rows.
-    # Parse AFTER enrich so the fields map is materialized once, right
-    # before the single routed shuffle.
-    df = enrich(df, lookups, **enrich_flags)
-    if do_parse:
-        df = parse_stage(df, kv_separator=kv_separator, kv_delimiter=kv_delimiter)
-        if not raw_fallthrough:
-            # reference main.go:442: content with no recognized parser is
-            # processed as raw ONLY under -getall/-rawtxt; otherwise it is
-            # skipped (per-file there, per-line in this engine's model)
-            df = df.filter(F.col("format") != "raw")
-        if full_parse:
-            # -fullparse (main.go:56): project the fields map to one
-            # column per key seen ANYWHERE in the input — the key-union
-            # aggregation is the distributed twin of the reference's
-            # first full-file scan (parsers/extra_keys.deep_keys)
-            from ..parsers.extra_keys import full_project
+    # BYTE-DIET SHAPE (guide §2.3/§8, SURVEY §1.1): the per-group salted
+    # exchange moves only the raw columns + the slim extraction output
+    # (_ip/_cls/_join keys ≈ 30 B/row); the broadcast join pyramid, the
+    # fields map and every lb_* sentinel string are computed AFTER the
+    # shuffle, directly above each group's write — measured ~40% fewer
+    # shuffle bytes and the exchange doubles as the codegen barrier the
+    # old extraction localCheckpoint provided (fusing the extraction
+    # regexes with the join stage measured 3-20× slower). Every
+    # post-shuffle op is per-row deterministic, so output rows are
+    # identical; ORDER STILL MATTERS: parse after enrich so the
+    # map<string,string> never rides a join's row copy.
+    from ..operators.enrich import enrich_extract, enrich_joins
 
-            df = full_project(df)
-    routed = route_stage(df)
+    if full_parse and not do_parse:
+        raise ValueError(
+            "full_parse=True requires do_parse=True: the -fullparse "
+            "projection is over the parsed fields map (ADVICE r06)"
+        )
+    extract_kw = {
+        k: enrich_flags.pop(k)
+        for k in ("text_col", "ip_col_name", "json_col_name")
+        if k in enrich_flags
+    }
+    enrich_flags.pop("barrier", None)  # the salted exchange IS the barrier here
+    prepared = enrich_extract(df, **extract_kw)
+    full_keys: list[str] | None = None
+    if do_parse and full_parse:
+        # -fullparse (main.go:56): one column per key seen ANYWHERE in
+        # the input. The key union must be GLOBAL (a per-group union
+        # would give groups different schemas), so run the two-pass
+        # aggregation over the whole input up front — fields depend only
+        # on text, so this prunes to a text-only scan (the reference's
+        # first full-file scan, parsers/extra_keys.deep_keys).
+        from ..parsers.extra_keys import deep_keys
+
+        keyed = parse_stage(df, kv_separator=kv_separator, kv_delimiter=kv_delimiter)
+        if not raw_fallthrough:
+            keyed = keyed.filter(F.col("format") != "raw")
+        full_keys = deep_keys(keyed)
+
+    def finish(part: DataFrame) -> DataFrame:
+        out = enrich_joins(part, lookups, **enrich_flags)
+        if do_parse:
+            out = parse_stage(
+                out, kv_separator=kv_separator, kv_delimiter=kv_delimiter
+            )
+            if not raw_fallthrough:
+                # reference main.go:442: content with no recognized
+                # parser is processed as raw ONLY under -getall/-rawtxt;
+                # otherwise it is skipped (per-file there, per-line in
+                # this engine's model)
+                out = out.filter(F.col("format") != "raw")
+            if full_keys is not None:
+                from ..parsers.extra_keys import shallow_project
+
+                out = shallow_project(out, full_keys)
+        return route_stage(out)
+
     if stage_barrier:
-        routed = routed.localCheckpoint(eager=False)
+        prepared = prepared.localCheckpoint(eager=False)
     return write_routed(
-        routed,
+        prepared,
         out_dir,
         n_groups=n_groups,
         resume=resume,
         partitions_per_group=partitions_per_group,
         group_col_name=group_col_name,
+        post_shuffle=finish,
     )

@@ -44,9 +44,14 @@ def salted_repartition(
     df: DataFrame,
     num_partitions: int | None = None,
     salt_buckets: int = 64,
-    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    sort_cols: tuple[str, ...] | None = ("conv_id", "turn_idx"),
 ) -> DataFrame:
     """Shuffle by (conv_id, salt(turn_idx)) then restore in-partition order.
+
+    ``sort_cols=None`` skips the in-partition sort — for callers that
+    run further (order-agnostic) computation after the exchange and sort
+    immediately before their write instead (plans/checkpoint.py's
+    post-shuffle formatting path).
 
     Keep ``salt_buckets`` well above the partition count (≥4×): a hot
     conversation occupies only salt_buckets distinct shuffle keys, and
@@ -67,4 +72,6 @@ def salted_repartition(
         if num_partitions
         else df.repartition(*parts)
     )
+    if sort_cols is None:
+        return out
     return out.sortWithinPartitions(*sort_cols)

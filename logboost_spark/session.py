@@ -56,6 +56,16 @@ _DEFAULTS = {
     # inferred not-null filters are worthless here (broadcast lookups),
     # so turn constraint propagation off.
     "spark.sql.constraintPropagation.enabled": "false",
+    # Dynamic partition pruning's probe (PartitionPruning.trimAliases)
+    # recursively INLINES every projection alias below a join when a
+    # partitioned scan is in the plan — exponential on the staged
+    # extraction alias chain (thread-dumped: driver pinned >7 min in
+    # trimAliases on a 3000-row input once the broadcast joins sat above
+    # the cgroup-partitioned scan without a lineage barrier). DPP can
+    # never fire for this engine: the commit-group partition column is
+    # never a join key (lookups join on _join_ip/_join_v4), so the rule
+    # is pure planning cost here.
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "false",
 }
 
 

@@ -242,7 +242,12 @@ def main(argv: list[str] | None = None) -> int:
             "rows": n_rows, "distinct_ips": n_ips,
         }))
         return 0
-    lookups = build_lookup_dfs(spark)
+    # shallow copy of the base tables only: build_lookup_dfs returns the
+    # per-session shared dict (it doubles as the derived-table cache,
+    # tuple-keyed); the --intelfile path below replaces "ti", which must
+    # neither leak into other callers nor reuse a combined-lookup cache
+    # built from the pristine TI table
+    lookups = {k: v for k, v in build_lookup_dfs(spark).items() if isinstance(k, str) and not k.startswith("_")}
     intel_flags = [args.intelfile, args.intelname, args.inteltype]
     if any(intel_flags):
         if not all(intel_flags):

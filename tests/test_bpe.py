@@ -199,3 +199,53 @@ def test_scalable_encoder_2k_vocab_and_spark_udf(spark):
         F.sum(make_bpe_token_count_udf(m2k)(F.col("text"))).alias("t2k"),
     ).collect()[0]
     assert agg.t2k < agg.t192
+
+
+def test_encoder_selector_chain_vs_heap_equivalence():
+    """_make_str_encoder picks the C replace chain for small vocabs and
+    the heap for large ones; both must stay byte-identical (the r07
+    optimization swapped the small-vocab path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logboost_spark.functions.textfns import (
+        _REPLACE_CHAIN_MAX_MERGES,
+        _bpe_encode_str,
+        _make_str_encoder,
+        bpe_ranks,
+        load_merges_json,
+    )
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "lookups", "bpe_merges_2k.json",
+    )
+    m2k = load_merges_json(path)
+    assert len(m2k) <= _REPLACE_CHAIN_MAX_MERGES  # bench rides the chain
+    enc_chain = _make_str_encoder(m2k)
+    ranks = bpe_ranks(m2k)
+
+    fixed = ["", "a", "aaaa", "the the the", "scan scan scan", "  s s  s"]
+    for s in fixed:
+        assert enc_chain(s) == _bpe_encode_str(s, ranks), s
+
+    chars = st.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters=[chr(c) for c in range(0xE000, 0xE000 + 4096)],
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=chars, max_size=200))
+    def check(s):
+        assert enc_chain(s) == _bpe_encode_str(s, ranks)
+
+    check()
+
+    # a vocab past the bound must select the heap encoder
+    big = m2k + [
+        (chr(0xE000 + 2000 + i), chr(0xE000 + 2001 + i), chr(0xE800 + i))
+        for i in range(_REPLACE_CHAIN_MAX_MERGES)
+    ]
+    enc_big = _make_str_encoder(big)
+    assert enc_big("the the the") == _bpe_encode_str("the the the", bpe_ranks(big))

@@ -70,7 +70,19 @@ def kv_pair_re(separator: str = KV_SEPARATOR_DEFAULT,
                delimiter: str = KV_DELIMITER_DEFAULT) -> str:
     """The reference's KV pair regex template instantiated for a custom
     separator/delimiter (parse_kv.go:21:
-    ``(?P<key>[^%v\\s]+)%v\"{0,1}(?P<value>[^%v]+)\"{0,1}%v?``)."""
+    ``(?P<key>[^%v\\s]+)%v\"{0,1}(?P<value>[^%v]+)\"{0,1}%v?``).
+
+    Single-character knobs only (ADVICE r06): the detection regex embeds
+    the separator in a character CLASS while ``_kv``'s str_to_map splits
+    on the literal SEQUENCE, so a multi-char value would make detection
+    and parsing disagree — same shape as the reference template. Fail
+    loudly instead of mis-parsing.
+    """
+    if len(separator) != 1 or len(delimiter) != 1:
+        raise ValueError(
+            f"kv separator/delimiter must be single characters, got "
+            f"separator={separator!r} delimiter={delimiter!r}"
+        )
     s, d = re.escape(separator), re.escape(delimiter)
     return rf'([^{s}\s]+){s}"?([^{d}]+?)"?(?:{d}|$)'
 

@@ -92,7 +92,15 @@ def run_pipeline(
         if k in enrich_flags
     }
     enrich_flags.pop("barrier", None)  # the salted exchange IS the barrier here
-    prepared = enrich_extract(df, **extract_kw)
+
+    def prepare() -> DataFrame:
+        # called once per commit-group job: overlapping jobs must NOT
+        # share driver-side expression tree instances (write_routed's
+        # routed_factory contract — shared trees bleed values cross-row
+        # under concurrent execution)
+        return enrich_extract(df, **extract_kw)
+
+    prepared = prepare()
     full_keys: list[str] | None = None
     if do_parse and full_parse:
         # -fullparse (main.go:56): one column per key seen ANYWHERE in
@@ -126,8 +134,13 @@ def run_pipeline(
                 out = shallow_project(out, full_keys)
         return route_stage(out)
 
+    factory = prepare
     if stage_barrier:
+        # a shared checkpoint is the POINT of stage_barrier — group jobs
+        # must read the one materialization, so they run sequentially
+        # (no per-job fresh trees)
         prepared = prepared.localCheckpoint(eager=False)
+        factory = None
     return write_routed(
         prepared,
         out_dir,
@@ -136,4 +149,5 @@ def run_pipeline(
         partitions_per_group=partitions_per_group,
         group_col_name=group_col_name,
         post_shuffle=finish,
+        routed_factory=factory,
     )

@@ -295,3 +295,17 @@ def test_fullparse_key_collision_suffix(spark):
     assert row["ts"] == "2030-01-01"          # pipeline column untouched
     assert row["ts_parsed"] == "2024-05-05"   # parsed key suffixed
     assert row["msg"] == "hello"
+
+
+def test_kv_knobs_single_char_only():
+    """ADVICE r06: multi-char separator/delimiter would make detection
+    (character class) and parsing (literal split) disagree — fail loudly."""
+    import pytest
+
+    from logboost_spark.parsers.formats import kv_pair_re
+
+    assert kv_pair_re(":", ";")  # single chars fine
+    with pytest.raises(ValueError, match="single characters"):
+        kv_pair_re("::", ";")
+    with pytest.raises(ValueError, match="single characters"):
+        kv_pair_re("=", ", ")

@@ -226,3 +226,30 @@ def test_group_pruning_reaches_scan_without_barrier(spark, lookups, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [(cgroup" in plan, plan[:4000]
+
+
+def test_concurrent_groups_no_cross_row_bleed(spark, lookups, tmp_path):
+    """r07 regression guard: overlapping commit-group jobs must not share
+    driver-side expression trees — shared trees produced cross-row value
+    bleed (lb_IP from another row) at ~1 row/2k per run. The extracted
+    lb_IP must always be a substring of the row's own text (or NoIP).
+    Probabilistic detector (the race fired in ~1/3 of runs pre-fix), so
+    several runs are checked; any hit is a hard failure."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(TR.gen_pandas(2000))
+    for trial in range(4):
+        out = str(tmp_path / f"bleed{trial}")
+        run_pipeline(
+            spark, sdf, lookups, out, n_groups=3,
+            use_whois=False, use_idb=False,
+        )
+        bad = (
+            read_sinks(spark, out)
+            .filter(
+                (F.col("lb_class") != "noip")
+                & ~F.col("text").contains(F.col("lb_IP"))
+            )
+            .count()
+        )
+        assert bad == 0, f"trial {trial}: {bad} rows carry another row's lb_IP"

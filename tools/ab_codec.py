@@ -30,7 +30,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 SIZES = [int(a) for a in sys.argv[2:]] or [2_000_000, 16_000_000]
-CORES = 32
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))  # ADVICE r06: no hardcoded core count
 
 VARIANTS = {
     "snappy": {"spark.sql.parquet.compression.codec": "snappy"},
@@ -118,11 +118,11 @@ def main():
                 "from logboost_spark.session import get_spark\n"
                 "from logboost_spark.fixtures.transcripts import gen_spark\n"
                 "from pyspark.sql import functions as F\n"
-                "spark = get_spark(cores=32)\n"
+                "spark = get_spark(cores=%d)\n"
                 "(gen_spark(spark, %d)"
                 ".withColumn('cgroup', F.pmod(F.xxhash64('conv_id'), F.lit(4)))"
-                ".repartition(128).write.partitionBy('cgroup')"
-                ".mode('overwrite').parquet(%r))\n" % (ROOT, rows, cache)
+                ".repartition(%d).write.partitionBy('cgroup')"  # CPUS*2, same layout as bench.py's cache builder
+                ".mode('overwrite').parquet(%r))\n" % (ROOT, CORES, rows, CORES * 2, cache)
             )
             subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
         samples = {v: {"cold": [], "warm": [], "load_at": []} for v in VARIANTS}

@@ -56,9 +56,11 @@ def main():
         print("wrote", name, flush=True)
 
     if not only or "pipeline_routed" in only:
-        # the pre-write pipeline plan (scan -> enrich -> parse -> route ->
-        # salted shuffle + sort), barrier off so the full lineage shows
-        from logboost_spark.operators.enrich import enrich
+        # ONE commit group's pre-write plan, built exactly the way
+        # run_pipeline/write_routed build it (r07 byte-diet shape:
+        # scan(pruned) -> extract -> salted exchange of slim rows ->
+        # joins + parse + route -> sort)
+        from logboost_spark.operators.enrich import enrich_extract, enrich_joins
         from logboost_spark.parsers.formats import parse_stage
         from logboost_spark.plans.route import route_stage, salted_repartition
 
@@ -67,14 +69,13 @@ def main():
         lookups = build_lookup_dfs(spark)
         from pyspark.sql import functions as F
 
-        routed = route_stage(
-            parse_stage(
-                enrich(tr, lookups, use_whois=False, use_idb=False, barrier=False)
-            )
-        ).filter(F.col("cgroup").cast("bigint") == 0).drop("cgroup")
-        shuf = salted_repartition(
-            routed, None, 64, sort_cols=("sink", "conv_id", "turn_idx")
+        prepared = enrich_extract(tr)
+        sub = prepared.filter(F.col("cgroup").cast("bigint") == 0).drop("cgroup")
+        sub = salted_repartition(sub, 32, 64, sort_cols=None)
+        sub = route_stage(
+            parse_stage(enrich_joins(sub, lookups, use_whois=False, use_idb=False))
         )
+        shuf = sub.sortWithinPartitions("sink", "conv_id", "turn_idx")
         with open(os.path.join(outdir, f"pipeline_routed_{TAG}.txt"), "w") as f:
             f.write(fmt_plan(shuf))
         print("wrote pipeline_routed", flush=True)

@@ -75,7 +75,19 @@ def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(fixture_path(sf_from_dir(sf_dir)))
+    # Same unsplittable-input fix as _t_par (guide §2.5): the committed
+    # transcript fixture is ONE parquet file with ONE row group, so a
+    # byte-range split can never parallelize it — only the task whose
+    # range holds the row group's midpoint gets rows, and every
+    # regex-heavy consumer (ip extraction, parse) ran single-task.
+    # Round-robin repartition right after the read spreads ~5 MB through
+    # one tiny exchange for cores-wide extraction (t_route_counts
+    # measured 3.3 s → 1.6 s at sf0.1). Gate outputs are order-
+    # insensitive (driver canonicalizes before hashing), so row
+    # placement is free to change.
+    return spark.read.parquet(fixture_path(sf_from_dir(sf_dir))).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:

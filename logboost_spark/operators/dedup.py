@@ -124,8 +124,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash over the distinct token/shingle set of each doc."""
     th = _element_hashes(docs, text_col, id_col, ngram)
+    # stage pmod(_hv, P) ONCE: Catalyst does not CSE across aggregate
+    # expressions (same trap as the BPE encode staging, r07), so inlining
+    # it ran the inner mod k times per token row — identical arithmetic,
+    # k-1 fewer bigint mods per row
+    th = th.withColumn("_hvm", F.pmod(F.col("_hv"), F.lit(MERSENNE_P)))
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.pmod(F.col("_hv"), F.lit(MERSENNE_P)) + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh{i}")
+        F.min(F.pmod(F.lit(a) * F.col("_hvm") + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_params(k))
     ]
     return th.groupBy(id_col).agg(*aggs)

@@ -2280,7 +2280,20 @@ QUERIES = {
     # on its path) changed since its last driver row goes FIRST; new gates go
     # in the front block; gates with rows on unchanged code fill the rest.
     #
-    # (a) round-6 gates (new code).
+    # (a) round-7 rotation: gates whose code path changed in the
+    #     optimization round but sat past the window — ti_*_q ride
+    #     build_lookup_dfs (lookups.py now reads parquet fixtures),
+    #     ti_build_ingest rides the main.py intelfile copy,
+    #     doc_exact_dedup/doc_decontaminate live in the touched
+    #     dedup.py. Swapped against six gates with r06 rows whose files
+    #     (readers.py, combine.py) r07 did NOT touch.
+    "ti_build_ingest": ti_build_ingest,
+    "ti_category_counts_q": ti_category_counts_q,
+    "ti_summary_q": ti_summary_q,
+    "ti_feed_listing_q": ti_feed_listing_q,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_decontaminate": doc_decontaminate,
+    # (a') round-6 gates.
     "t_kv_custom": t_kv_custom,
     "ann_recall_sweep": ann_recall_sweep,
     # (b) gates on files touched in r5 whose last rows are r04
@@ -2289,8 +2302,6 @@ QUERIES = {
     "t_pipeline_full": t_pipeline_full,
     "t_pipeline_whois": t_pipeline_whois,
     "t_turn_order": t_turn_order,
-    "t_iis_reader": t_iis_reader,
-    "t_csv_lazyquotes": t_csv_lazyquotes,
     "t_pii_scrub": t_pii_scrub,
     # (c) last rows r04 (past the r5 window) — rotate in.
     "doc_token_repetition": doc_token_repetition,
@@ -2314,10 +2325,6 @@ QUERIES = {
     "t_ip_source_ipcol": t_ip_source_ipcol,
     "t_ip_source_jsoncol": t_ip_source_jsoncol,
     "t_multiline_records": t_multiline_records,
-    "t_combine_union": t_combine_union,
-    "t_fuzzy_headers": t_fuzzy_headers,
-    "t_combine_sourcefile": t_combine_sourcefile,
-    "t_combine_master": t_combine_master,
     "t_date_filter": t_date_filter,
     # (f) textfns.py touched in r6 (bpe_ranks duplicate-pair guard) —
     #     the BPE/LM/quality family re-proves on the new code.
@@ -2342,8 +2349,14 @@ QUERIES = {
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dedup_apply": doc_dedup_apply,
-    # --- past-the-window: r05-proven rows, code untouched in r6 -------------
-    "doc_exact_dedup": doc_exact_dedup,
+    # --- past-the-window: fresh r06 rows on files r07 did not touch
+    #     (readers.py, combine.py), plus r05-proven rows on untouched code.
+    "t_iis_reader": t_iis_reader,
+    "t_csv_lazyquotes": t_csv_lazyquotes,
+    "t_combine_union": t_combine_union,
+    "t_fuzzy_headers": t_fuzzy_headers,
+    "t_combine_sourcefile": t_combine_sourcefile,
+    "t_combine_master": t_combine_master,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_by_priority": q3_revenue_by_priority,
     "q5_region_volume": q5_region_volume,
